@@ -1,0 +1,472 @@
+"""Lake-table abstraction: MERGE-INTO upsert target with exactly-once commits.
+
+The north rule targets Iceberg ``MERGE INTO``; the Iceberg runtime jar is not
+available in this sandbox, so the same semantics are implemented as a
+parquet "mini-lake" behind one interface (SURVEY §7 M1 fallback):
+
+* **Copy-on-write at bucket granularity** — rows are hash-bucketed on
+  ``conv_id`` (the Iceberg analogue is a ``bucket(conv_id)`` hidden
+  partition). A merge rewrites only the buckets the source batch touches;
+  untouched buckets are inherited by pointer. This bounds write
+  amplification exactly the way Iceberg's copy-on-write MERGE bounds it at
+  file granularity, and keeps each conversation's turns co-located so the
+  LWW merge shuffle partitions by the same key every epoch.
+* **Atomic snapshot commits** — each merge writes data files under a fresh
+  commit directory, then publishes a JSON manifest via atomic ``rename``.
+  The manifest is the commit point: readers only see renamed manifests, and
+  orphaned data files from a crashed merge are invisible (Iceberg snapshot
+  semantics).
+* **Exactly-once epochs** — the manifest records ``epoch_id``; re-applying
+  an already-committed epoch is a structural no-op (checked before any
+  work). This is the epoch-commit ledger of SURVEY §4.2 #2, and the batch
+  generalization of the reference's idempotent set-union merge
+  (PontusProcessorBase.java:303-327: re-adding the same values is a no-op).
+* **Retained tombstones** — deletes are stored as ``_deleted=true`` rows
+  with their LSN, so a lower-LSN insert delivered in a *later* epoch still
+  loses (out-of-order delivery across epochs). ``read()`` filters them.
+* **Schema evolution** — per-epoch schema diff: new columns are appended
+  (nullable), int→long / float→double widenings are applied, and old data
+  files are read through the current schema with cast-alignment (Iceberg
+  ``ALTER TABLE ADD COLUMN`` / type-promotion semantics, SURVEY §4.2 #3).
+* **LWW merge rule** — max ``lsn`` wins per (conv_id, turn_idx), the
+  distributed form of the reference's max-frequency last-writer-wins upsert
+  (PontusDiscoveryDBClassifierProcessor.java:253-273). Implemented as
+  ``max(struct(lsn, ...))`` aggregation, which Spark executes as
+  partial+final hash aggregation — the map-side combine absorbs hot-key
+  duplicates before the shuffle, so a mega-conversation does not serialize
+  one reducer.
+
+Single-writer assumption: one runner commits at a time (the driver of the
+streaming query). Concurrent writers would need the optimistic-retry loop
+Iceberg provides; out of scope here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_LSN = "_lsn"
+META_DELETED = "_deleted"
+BUCKET_COL = "_b"
+
+# Iceberg-style type promotions we accept when an epoch widens a column.
+# Names are DataType.simpleString() values ("int", "bigint", ...).
+_WIDENINGS = {
+    ("int", "bigint"),
+    ("int", "double"),
+    ("bigint", "double"),
+    ("float", "double"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("date", "timestamp"),
+}
+
+
+def _rank(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+def widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Smallest common type of a and b under the supported promotions."""
+    if a == b:
+        return a
+    if (_rank(a), _rank(b)) in _WIDENINGS:
+        return b
+    if (_rank(b), _rank(a)) in _WIDENINGS:
+        return a
+    raise ValueError(f"unsupported schema change: {_rank(a)} vs {_rank(b)}")
+
+
+def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.StructType, bool]:
+    """Merge incoming batch schema into the table schema (add + widen)."""
+    fields = {f.name: f for f in current.fields}
+    order = [f.name for f in current.fields]
+    changed = False
+    for f in incoming.fields:
+        if f.name in fields:
+            w = widen(fields[f.name].dataType, f.dataType)
+            if w != fields[f.name].dataType:
+                fields[f.name] = T.StructField(f.name, w, True)
+                changed = True
+        else:
+            fields[f.name] = T.StructField(f.name, f.dataType, True)
+            order.append(f.name)
+            changed = True
+    return T.StructType([fields[n] for n in order]), changed
+
+
+def align(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto ``schema``: missing columns become typed nulls,
+    present columns are cast (the read path for old-schema data files)."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+@dataclass
+class MergeMetrics:
+    epoch_id: int
+    skipped: bool = False
+    rows_in_batch: int = 0
+    keys_in_batch: int = 0
+    rows_applied: int = 0
+    updated: int = 0
+    inserted: int = 0
+    deleted: int = 0
+    stale: int = 0  # source rows that lost LWW to an existing higher LSN
+    buckets_touched: int = 0
+    lsn_watermarks: dict[str, int] = field(default_factory=dict)
+    wall_sec: float = 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "epoch_id": self.epoch_id,
+            "skipped": self.skipped,
+            "rows_in_batch": self.rows_in_batch,
+            "keys_in_batch": self.keys_in_batch,
+            "rows_applied": self.rows_applied,
+            "updated": self.updated,
+            "inserted": self.inserted,
+            "deleted": self.deleted,
+            "stale": self.stale,
+            "buckets_touched": self.buckets_touched,
+            "lsn_watermarks": self.lsn_watermarks,
+            "wall_sec": self.wall_sec,
+        }
+
+
+class ParquetLakeTable:
+    """Parquet mini-lake with Iceberg-shaped MERGE semantics (module doc)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        bucket_key: str = "conv_id",
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.root = root
+        self.key_cols = list(key_cols)
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_schema"), exist_ok=True)
+
+    # ---- commit log -------------------------------------------------
+
+    def _commit_files(self) -> list[str]:
+        d = os.path.join(self.root, "_commits")
+        return sorted(f for f in os.listdir(d) if f.startswith("commit-"))
+
+    def last_commit(self) -> dict | None:
+        files = self._commit_files()
+        if not files:
+            return None
+        with open(os.path.join(self.root, "_commits", files[-1])) as fh:
+            return json.load(fh)
+
+    def committed_epochs(self) -> set[int]:
+        out = set()
+        for f in self._commit_files():
+            with open(os.path.join(self.root, "_commits", f)) as fh:
+                out.add(json.load(fh)["epoch_id"])
+        return out
+
+    def commit_history(self) -> list[dict]:
+        hist = []
+        for f in self._commit_files():
+            with open(os.path.join(self.root, "_commits", f)) as fh:
+                hist.append(json.load(fh))
+        return hist
+
+    def _publish(self, commit: dict) -> None:
+        """Atomic commit point: tmp write + rename."""
+        seq = commit["seq"]
+        d = os.path.join(self.root, "_commits")
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(commit, fh)
+        os.rename(tmp, os.path.join(d, f"commit-{seq:08d}.json"))
+
+    # ---- schema -----------------------------------------------------
+
+    def current_schema(self) -> T.StructType | None:
+        c = self.last_commit()
+        if c is None:
+            return None
+        with open(os.path.join(self.root, "_schema", c["schema"])) as fh:
+            return T.StructType.fromJson(json.load(fh))
+
+    def _write_schema(self, schema: T.StructType, version: int) -> str:
+        name = f"v{version:04d}.json"
+        path = os.path.join(self.root, "_schema", name)
+        with open(path, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        return name
+
+    # ---- read -------------------------------------------------------
+
+    def read_raw(self) -> DataFrame:
+        """Current snapshot including meta columns and tombstones."""
+        c = self.last_commit()
+        schema = self.current_schema()
+        if c is None or not c["buckets"]:
+            meta = T.StructType(
+                [
+                    T.StructField(META_LSN, T.LongType()),
+                    T.StructField(META_DELETED, T.BooleanType()),
+                    T.StructField(BUCKET_COL, T.IntegerType()),
+                ]
+            )
+            base = schema or T.StructType([])
+            return self.spark.createDataFrame([], T.StructType(base.fields + meta.fields))
+        full = T.StructType(
+            schema.fields
+            + [
+                T.StructField(META_LSN, T.LongType()),
+                T.StructField(META_DELETED, T.BooleanType()),
+            ]
+        )
+        parts = []
+        # group bucket pointers by the schema version their files carry, so
+        # old files are read with their own schema then cast-aligned.
+        by_schema: dict[str, list[str]] = {}
+        for b, ptr in c["buckets"].items():
+            by_schema.setdefault(ptr["schema"], []).append(os.path.join(self.root, ptr["path"]))
+        for sname, paths in by_schema.items():
+            with open(os.path.join(self.root, "_schema", sname)) as fh:
+                s = T.StructType.fromJson(json.load(fh))
+            df = self.spark.read.parquet(*paths)
+            parts.append(align(df, full))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # partitionBy writes the bucket as a directory key; recover it
+        return out.withColumn(
+            BUCKET_COL, F.pmod(F.xxhash64(self.bucket_key), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def read(self) -> DataFrame:
+        """Live rows (tombstones filtered, meta dropped)."""
+        return (
+            self.read_raw()
+            .where(~F.col(META_DELETED))
+            .drop(META_LSN, META_DELETED, BUCKET_COL)
+        )
+
+    # ---- merge ------------------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(self.bucket_key), F.lit(self.n_buckets)).cast("int")
+
+    def merge_into(self, src: DataFrame, epoch_id: int, lsn_col: str = "lsn", op_col: str = "op") -> MergeMetrics:
+        """MERGE src (one epoch's change events, may contain intra-batch
+        duplicates) into the table under max-LSN LWW. Idempotent per epoch.
+
+        Equivalent Iceberg statement (SURVEY §4.3):
+            MERGE INTO tgt USING src ON tgt.conv_id=src.conv_id AND tgt.turn_idx=src.turn_idx
+            WHEN MATCHED AND src.lsn > tgt.lsn AND src.op='D' THEN UPDATE SET _deleted=true ...
+            WHEN MATCHED AND src.lsn > tgt.lsn THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        (tombstones retained instead of DELETE so late lower-LSN events lose).
+        """
+        t0 = time.time()
+        if epoch_id in self.committed_epochs():
+            return MergeMetrics(epoch_id=epoch_id, skipped=True)
+
+        prev = self.last_commit()
+        data_cols = [c for c in src.columns if c not in (lsn_col, op_col, "epoch_id")]
+        incoming = T.StructType([f for f in src.schema.fields if f.name in data_cols])
+        current = self.current_schema()
+        if current is None:
+            schema, schema_changed = incoming, True
+            version = 1
+        else:
+            schema, schema_changed = evolve_schema(current, incoming)
+            version = (prev["schema_version"] + 1) if schema_changed else prev["schema_version"]
+        schema_name = self._write_schema(schema, version) if schema_changed else prev["schema"]
+
+        have = {f.name for f in src.schema.fields}
+        src_rows = src.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col(lsn_col).cast("long").alias(META_LSN),
+            (F.col(op_col) == "D").alias(META_DELETED),
+        ).withColumn(BUCKET_COL, self._bucket_expr())
+
+        # touched buckets: tiny distinct (≤ n_buckets values)
+        touched = sorted(
+            r[0] for r in src_rows.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            seq = (prev["seq"] + 1) if prev else 1
+            commit = {
+                "seq": seq,
+                "epoch_id": epoch_id,
+                "schema": schema_name,
+                "schema_version": version,
+                "buckets": prev["buckets"] if prev else {},
+                "watermarks": prev.get("watermarks", {}) if prev else {},
+                "metrics": MergeMetrics(epoch_id=epoch_id).as_dict(),
+            }
+            self._publish(commit)
+            return MergeMetrics(epoch_id=epoch_id)
+
+        tgt_parts = []
+        if prev:
+            by_schema: dict[str, list[str]] = {}
+            for b in touched:
+                ptr = prev["buckets"].get(str(b))
+                if ptr:
+                    by_schema.setdefault(ptr["schema"], []).append(
+                        os.path.join(self.root, ptr["path"])
+                    )
+            full = T.StructType(
+                schema.fields
+                + [
+                    T.StructField(META_LSN, T.LongType()),
+                    T.StructField(META_DELETED, T.BooleanType()),
+                ]
+            )
+            for sname, paths in by_schema.items():
+                df = self.spark.read.parquet(*paths)
+                tgt_parts.append(
+                    align(df, full).withColumn(BUCKET_COL, self._bucket_expr())
+                )
+
+        src_tagged = src_rows.withColumn("_src", F.lit(True))
+        merged = src_tagged
+        for p in tgt_parts:
+            merged = merged.unionByName(p.withColumn("_src", F.lit(False)))
+
+        non_key = [f.name for f in schema.fields if f.name not in self.key_cols]
+        # LWW: max(struct(lsn, ...)) — partial+final hash agg, map-side
+        # combine absorbs per-key duplicates (skew-safe, SURVEY §4.2 #1).
+        winner = F.max(
+            F.struct(F.col(META_LSN), F.col(META_DELETED), *[F.col(c) for c in non_key])
+        ).alias("_w")
+        flags = [
+            F.max(F.when(F.col("_src"), F.col(META_LSN))).alias("_src_lsn"),
+            F.max(F.when(~F.col("_src"), F.col(META_LSN))).alias("_tgt_lsn"),
+            F.max(F.when(~F.col("_src"), F.col(META_DELETED))).alias("_tgt_deleted"),
+        ]
+        agg = merged.groupBy(*self.key_cols, BUCKET_COL).agg(winner, *flags)
+
+        out = agg.select(
+            *self.key_cols,
+            F.col(BUCKET_COL),
+            *[F.col(f"_w.{c}").alias(c) for c in non_key],
+            F.col(f"_w.{META_LSN}").alias(META_LSN),
+            F.col(f"_w.{META_DELETED}").alias(META_DELETED),
+            F.col("_src_lsn"),
+            F.col("_tgt_lsn"),
+            F.col("_tgt_deleted"),
+        )
+
+        obs = Observation(f"merge-{epoch_id}")
+        src_won = F.col("_src_lsn").isNotNull() & (
+            F.col("_tgt_lsn").isNull() | (F.col("_src_lsn") > F.col("_tgt_lsn"))
+        )
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_applied"),
+            F.sum(
+                (
+                    src_won & F.col("_tgt_lsn").isNotNull() & ~F.col(META_DELETED)
+                ).cast("long")
+            ).alias("updated"),
+            F.sum((src_won & F.col("_tgt_lsn").isNull() & ~F.col(META_DELETED)).cast("long")).alias(
+                "inserted"
+            ),
+            F.sum((src_won & F.col(META_DELETED) & ~F.coalesce(F.col("_tgt_deleted"), F.lit(False))).cast("long")).alias("deleted"),
+            F.sum(
+                (
+                    F.col("_src_lsn").isNotNull()
+                    & F.col("_tgt_lsn").isNotNull()
+                    & (F.col("_src_lsn") < F.col("_tgt_lsn"))
+                ).cast("long")
+            ).alias("stale"),
+            F.max(F.col(META_LSN)).alias("max_lsn"),
+        )
+        final_cols = (
+            [F.col(f.name) for f in schema.fields]
+            + [F.col(META_LSN), F.col(META_DELETED), F.col(BUCKET_COL)]
+        )
+        out = out.select(*final_cols)
+
+        seq = (prev["seq"] + 1) if prev else 1
+        commit_dir = f"data/c{seq:08d}"
+        abs_dir = os.path.join(self.root, commit_dir)
+        # deterministic file content ordering → replay-stable snapshots
+        (
+            out.repartition(len(touched), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.key_cols)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(abs_dir)
+        )
+        m = obs.get
+
+        # per-bucket LSN watermarks for lineage/resume metrics
+        wm_rows = (
+            self.spark.read.parquet(abs_dir)
+            .groupBy(BUCKET_COL)
+            .agg(F.max(META_LSN).alias("wm"))
+            .collect()
+        )
+        new_watermarks = dict(prev.get("watermarks", {})) if prev else {}
+        for r in wm_rows:
+            new_watermarks[str(r[BUCKET_COL])] = int(r["wm"])
+
+        buckets = dict(prev["buckets"]) if prev else {}
+        present = {
+            int(d.split("=")[1])
+            for d in os.listdir(abs_dir)
+            if d.startswith(f"{BUCKET_COL}=")
+        }
+        for b in present:
+            buckets[str(b)] = {"path": f"{commit_dir}/{BUCKET_COL}={b}", "schema": schema_name}
+
+        metrics = MergeMetrics(
+            epoch_id=epoch_id,
+            rows_in_batch=-1,  # caller may fill; avoiding an extra count job
+            keys_in_batch=-1,
+            rows_applied=int(m["rows_applied"]),
+            updated=int(m["updated"] or 0),
+            inserted=int(m["inserted"] or 0),
+            deleted=int(m["deleted"] or 0),
+            stale=int(m["stale"] or 0),
+            buckets_touched=len(present),
+            lsn_watermarks={str(b): new_watermarks[str(b)] for b in present},
+            wall_sec=time.time() - t0,
+        )
+        commit = {
+            "seq": seq,
+            "epoch_id": epoch_id,
+            "schema": schema_name,
+            "schema_version": version,
+            "buckets": buckets,
+            "watermarks": new_watermarks,
+            "metrics": metrics.as_dict(),
+        }
+        self._publish(commit)
+        return metrics

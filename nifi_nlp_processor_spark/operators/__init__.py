@@ -1,0 +1,6 @@
+from nifi_nlp_processor_spark.operators.dedupe import (  # noqa: F401
+    lww_dedupe,
+    lww_dedupe_window,
+    salted_lww_dedupe,
+)
+from nifi_nlp_processor_spark.operators.quarantine import split_valid  # noqa: F401

@@ -1,0 +1,124 @@
+"""CDC apply loop: epochs → quarantine → enrich → LWW dedupe → MERGE.
+
+The engine's hot path (SURVEY §4.3):
+
+    change events (epoch)
+      → validity split (dead-letter quarantine, never fail the batch)
+      → optional vectorized enrichment (mapInPandas, Arrow batches)
+      → LWW dedupe (partial+final agg — skew-safe)
+      → LakeTable.merge_into (bucket copy-on-write, atomic manifest)
+      → epoch metrics + LSN watermarks appended to the ledger
+
+Exactly-once: the lake manifest records committed epoch ids; re-running an
+epoch (restart, at-least-once re-delivery in foreachBatch) is a structural
+no-op. This is the micro-batch generalization of the reference's per-record
+session.commit() / idempotent set-union merge (PontusNLPProcessor.java:363;
+PontusProcessorBase.java:303-327).
+
+Batch mode (``apply_epochs``) drives the same per-epoch function the
+streaming mode (``stream_apply``) hands to foreachBatch — one code path to
+test, two delivery mechanisms.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nifi_nlp_processor_spark.lake import MergeMetrics, ParquetLakeTable
+from nifi_nlp_processor_spark.operators.dedupe import lww_dedupe
+from nifi_nlp_processor_spark.operators.quarantine import split_valid
+
+
+@dataclass
+class EpochResult:
+    epoch_id: int
+    merge: MergeMetrics
+    quarantined: int = 0
+
+
+@dataclass
+class CdcEngine:
+    lake: ParquetLakeTable
+    quarantine_dir: str | None = None
+    enrich: Callable[[DataFrame], DataFrame] | None = None
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    results: list[EpochResult] = field(default_factory=list)
+
+    def apply_epoch(self, batch: DataFrame, epoch_id: int) -> EpochResult:
+        """Apply one micro-batch. Safe to call twice with the same epoch_id."""
+        if epoch_id in self.lake.committed_epochs():
+            res = EpochResult(epoch_id=epoch_id, merge=MergeMetrics(epoch_id=epoch_id, skipped=True))
+            self.results.append(res)
+            return res
+
+        valid, bad = split_valid(batch, list(self.key_cols))
+        n_bad = 0
+        if self.quarantine_dir is not None:
+            # DLQ append (REL_FAILURE analogue). Counted via the write.
+            bad_out = bad.withColumn("_epoch_id", F.lit(epoch_id))
+            bad_out.write.mode("append").parquet(self.quarantine_dir)
+            n_bad = -1  # count available from the quarantine table if needed
+
+        if self.enrich is not None:
+            valid = self.enrich(valid)
+
+        deduped = lww_dedupe(valid, list(self.key_cols))
+        metrics = self.lake.merge_into(deduped, epoch_id)
+        res = EpochResult(epoch_id=epoch_id, merge=metrics, quarantined=n_bad)
+        self.results.append(res)
+        return res
+
+    def apply_epochs(self, events: DataFrame, epoch_col: str = "epoch_id") -> list[EpochResult]:
+        """Batch replay: partition the change stream by epoch and apply in
+        epoch order. Epoch ids are collected (small: one per micro-batch),
+        the events themselves never reach the driver."""
+        epoch_ids = sorted(
+            r[0] for r in events.select(epoch_col).distinct().collect()
+        )
+        out = []
+        for e in epoch_ids:
+            batch = events.where(F.col(epoch_col) == e)
+            out.append(self.apply_epoch(batch, int(e)))
+        return out
+
+    def lineage(self) -> list[dict]:
+        """Per-epoch lineage from the commit ledger (rows applied, conflict
+        counts, per-bucket LSN watermarks) — the metrics export the north
+        rule requires."""
+        return [c["metrics"] | {"watermarks": c["watermarks"]} for c in self.lake.commit_history()]
+
+    def save_lineage(self, path: str) -> None:
+        with open(path, "w") as fh:
+            json.dump(self.lineage(), fh, indent=2)
+
+
+def stream_apply(
+    engine: CdcEngine,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Structured Streaming delivery: readStream source → foreachBatch(apply_epoch).
+
+    Spark's checkpoint gives at-least-once batch re-delivery; the lake's
+    epoch ledger upgrades it to exactly-once. Returns the started query.
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        engine.apply_epoch(batch_df, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
