@@ -1,0 +1,14 @@
+from nifi_nlp_processor_spark.functions.extractors import (  # noqa: F401
+    DEFAULT_REGISTRY,
+    compile_registry,
+    extract_entities,
+    extract_entities_sql,
+    translate_java_regex,
+)
+from nifi_nlp_processor_spark.functions.dictionary import (  # noqa: F401
+    classify_columns,
+    lww_domain_winner,
+    membership,
+    normalize_analyzed,
+    percentage_match,
+)

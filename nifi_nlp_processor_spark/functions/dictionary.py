@@ -1,0 +1,146 @@
+"""Dictionary membership + column classification (the reference's
+Lucene-index writer/reader/classifier trio, Spark-first).
+
+Reference semantics re-expressed:
+
+* Dictionary store (PontusLuceneIndexWriterProcessor.java:104-187): one
+  Lucene index per semantic domain, single field "data"; ``TextField`` =
+  analyzed (lowercase/accent-folding BrazilianAnalyzer) vs ``StringField``
+  = exact. → a dictionary DataFrame ``(domain, value, mode)``; analyzed
+  mode normalizes with lower + accent-strip. Broadcast to executors.
+* Membership probe (PontusLuceneIndexReaderProcessor.java:129-135): top-1
+  existence search per candidate. → broadcast LEFT SEMI join (existence ⇒
+  no scoring, no sort) or a ``matched`` boolean via left join.
+* Percentage aggregate (PontusDiscoveryDBClassifierProcessor.java:159-185):
+  per column, found/total*100.0 over ~10 sample values. → hash aggregate
+  with map-side partial (free in Spark).
+* Max-frequency LWW winner (:200-286): later classifier replaces the
+  winning domain iff strictly greater frequency; ties keep the incumbent;
+  every probe appends to ``semanticDomains``. → window LWW ordered by
+  (frequency DESC, arrival ASC) — the same rule the CDC dedupe generalizes
+  to max-LSN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# accent fold approximating BrazilianAnalyzer's lowercase+ASCII folding
+_ACCENTS_IN = "áàâãäéèêëíìîïóòôõöúùûüçñýÿ"
+_ACCENTS_OUT = "aaaaaeeeeiiiiooooouuuucnyy"
+
+
+def normalize_analyzed(col: Column) -> Column:
+    """'analyzed' (TextField) normalization: lowercase + accent fold +
+    trim. Exact mode (StringField) stores the value verbatim."""
+    return F.translate(F.lower(F.trim(col)), _ACCENTS_IN, _ACCENTS_OUT)
+
+
+def membership(
+    candidates: DataFrame,
+    dictionary: DataFrame,
+    candidate_col: str = "value",
+    dict_value_col: str = "value",
+    mode: str = "analyzed",
+    fuzzy: bool = False,
+    max_edits: int = 2,
+) -> DataFrame:
+    """Adds boolean ``matched``: candidate present in the dictionary.
+
+    mode='analyzed' joins on the normalized key (TextField semantics),
+    'exact' on the raw value (StringField). The dictionary side is
+    broadcast — it is the small relation by construction (the reference
+    mmaps it on every node; broadcast is the cluster analogue).
+
+    fuzzy=True mirrors the reader's ``~%s`` Lucene fuzzy query format
+    (PontusProcessorBase.java:109-131): edit distance ≤ max_edits. This is
+    a broadcast theta-join (levenshtein), cost |candidates|×|dict| — only
+    for small dictionaries, as in the reference.
+    """
+    key = normalize_analyzed if mode == "analyzed" else (lambda c: c)
+    dic = dictionary.select(key(F.col(dict_value_col)).alias("_dict_key")).distinct()
+    if not fuzzy:
+        cand_key = key(F.col(candidate_col))
+        joined = candidates.withColumn("_cand_key", cand_key).join(
+            F.broadcast(dic),
+            F.col("_cand_key") == F.col("_dict_key"),
+            "left",
+        )
+        return (
+            joined.withColumn("matched", F.col("_dict_key").isNotNull())
+            .drop("_cand_key", "_dict_key")
+        )
+    cand = candidates.withColumn("_cand_key", key(F.col(candidate_col)))
+    hit = (
+        cand.join(
+            F.broadcast(dic),
+            F.levenshtein(F.col("_cand_key"), F.col("_dict_key")) <= max_edits,
+            "left_semi",
+        )
+        .select(*candidates.columns)
+        .withColumn("matched", F.lit(True))
+    )
+    return (
+        candidates.join(hit.select(*candidates.columns).withColumn("m", F.lit(True)),
+                        on=candidates.columns, how="left")
+        .withColumn("matched", F.coalesce(F.col("m"), F.lit(False)))
+        .drop("m")
+    )
+
+
+def percentage_match(
+    probed: DataFrame,
+    group_cols: list[str] = ["col_name"],
+    matched_col: str = "matched",
+) -> DataFrame:
+    """found/total*100.0 per group (A3) — avg of the 0/1 indicator × 100,
+    double division exactly as PontusDiscoveryDBClassifierProcessor.java:175."""
+    return probed.groupBy(*group_cols).agg(
+        (F.avg(F.col(matched_col).cast("int")) * 100.0).alias("frequency")
+    )
+
+
+def classify_columns(
+    col_samples: DataFrame,
+    dictionaries: DataFrame,
+    domain: str,
+    mode: str = "analyzed",
+    group_cols: list[str] = ["col_name"],
+    value_col: str = "value",
+) -> DataFrame:
+    """One classifier pass: probe every sample value of every column against
+    one domain's dictionary → (group_cols…, domain, frequency). The chained
+    multi-processor flow of the reference (classifier per domain,
+    PontusDiscoveryDBClassifierProcessorTest.java:153-162) is a union of
+    these, resolved by ``lww_domain_winner``."""
+    dic = dictionaries.where(F.col("domain") == domain)
+    probed = membership(col_samples, dic, candidate_col=value_col, mode=mode)
+    return percentage_match(probed, group_cols).withColumn("domain", F.lit(domain))
+
+
+def lww_domain_winner(
+    classified: DataFrame,
+    group_cols: list[str] = ["col_name"],
+    arrival_col: str = "arrival",
+) -> DataFrame:
+    """Winner per column: max frequency, ties keep the earliest arrival
+    (strict `<` replacement, PontusDiscoveryDBClassifierProcessor.java:262),
+    zero-frequency probes can never create an entry (:221-229). All probes
+    are retained as ``semantic_domains`` (the appended semanticDomains list,
+    :253-273)."""
+    nonzero = classified.where(F.col("frequency") > 0.0)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("frequency").desc(), F.col(arrival_col).asc()
+    )
+    winners = (
+        nonzero.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*group_cols, "domain", "frequency")
+    )
+    all_probes = classified.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(arrival_col), F.col("domain"), F.col("frequency")))
+        ).alias("semantic_domains")
+    )
+    return winners.join(all_probes, group_cols, "left")
