@@ -1,0 +1,265 @@
+"""Document deduplication operators for the training-data pipeline.
+
+The reference's only dedup primitive is set-union idempotency
+(PontusProcessorBase.java:303-327: re-adding a value to a result set is a
+no-op) and Lucene-index membership (PontusLuceneIndexReaderProcessor.java:
+129-135).  A 100 TB training-data pipeline needs document-level dedup; these
+operators supply it Spark-first, all as declarative DataFrame plans
+(no per-row Python anywhere):
+
+``exact_dedup``         — hash-groupBy on a content fingerprint (md5 of
+                          normalized text). Partial+final hash aggregation;
+                          one shuffle on the fingerprint, never on the text.
+``shingles``            — distinct k-gram word shingles per doc via
+                          posexplode + window lead (stays in codegen).
+``minhash_signatures``  — per-doc MinHash signature. ``hash_fn='md5'`` is the
+                          portable flavor (bit-identical in any engine, used
+                          for oracle parity); ``'xxhash64'`` is the fast JVM
+                          path for scale.
+``lsh_candidate_pairs`` — MinHash-LSH: band the signature, shuffle on
+                          (band, bucket) only — candidate generation cost is
+                          O(docs × bands), never O(docs²).
+``jaccard_pairs``       — exact n-gram Jaccard via a shingle inverted-index
+                          self-join: only docs sharing ≥1 shingle meet, so
+                          the join output is bounded by co-occurrence, not
+                          |docs|².  Used standalone at small scale and as the
+                          verifier behind LSH candidates at large scale.
+``simhash``             — 32-bit SimHash fingerprint per doc, computed with
+                          bit-parallel integer aggregation (sum of masked
+                          hash bits), zero UDFs.
+``simhash_near_pairs``  — near-dup pairs by Hamming distance over same-band
+                          SimHash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, keeper_id,
+    n_copies). Keeper = min id (deterministic). The groupBy key is the
+    16-byte fingerprint, so the shuffle moves hashes, not documents."""
+    return (
+        docs.select(
+            F.md5(F.lower(F.col(text_col))).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct k-gram word shingles: (id, shingle). posexplode + lead
+    window per doc; the window partitions by doc id so shingle construction
+    never crosses documents (and AQE can split a skewed mega-doc only at
+    the downstream joins, where it matters)."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
+    # lead(w, k-1) null ⇒ the window ran off the end (shorter leads are null
+    # too); keep only full-width shingles.
+    return (
+        tok.select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"),
+                   parts[-1].alias("_last"))
+        .where(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    doc_shingles: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, h0..h{n-1}).
+
+    One aggregation: num_hashes min() columns over the shingle set —
+    partial+final hash agg, map-side combine absorbs big docs before the
+    shuffle. 'xxhash64' keeps everything in whole-stage codegen (the scale
+    path); 'md5' salts the shingle with the hash index and takes the min
+    hex digest — slower but engine-portable (the oracle-parity path)."""
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return doc_shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH banding: docs agreeing on every hash of ≥1 band become a
+    candidate pair (a_id < b_id). The only shuffle is groupBy(band, bucket);
+    a bucket of b docs yields C(b,2) pairs via a collect_list + in-bucket
+    pair expansion, which stays bounded because equal full-band agreement
+    at reasonable band width is rare (and a pathological bucket is exactly
+    the near-dup cluster we're hunting)."""
+    hcols = [c for c in signatures.columns if c != id_col]
+    per_band = len(hcols) // bands
+    assert per_band >= 1, "more bands than hashes"
+    banded = None
+    for b in range(bands):
+        cols = hcols[b * per_band : (b + 1) * per_band]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_set(id_col)).alias("ids")
+    ).where(F.size("ids") > 1)
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a_id, y as b_id))))"
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id").distinct()
+    return pairs
+
+
+def jaccard_pairs(
+    doc_shingles: DataFrame,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle:
+    (a_id, b_id, jaccard). Inverted-index self-join on the shingle — the
+    physical plan is: shuffle both sides on `shingle` (sort-merge or, after
+    AQE stats, broadcast), count co-occurrences per pair, then join two
+    tiny size relations. With ``candidates`` (e.g. LSH output) the
+    co-occurrence join is semi-filtered first, so the exact pass verifies
+    only candidate pairs."""
+    sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = doc_shingles.select(F.col(id_col).alias("a_id"), "shingle")
+    b = doc_shingles.select(F.col(id_col).alias("b_id"), "shingle")
+    co = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    if candidates is not None:
+        co = co.join(candidates, ["a_id", "b_id"], "left_semi")
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    out = (
+        co.join(F.broadcast(na), "a_id")
+        .join(F.broadcast(nb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("overlap") / (F.col("na") + F.col("nb") - F.col("overlap"))).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per doc: (id, simhash). Token-hash bit votes are
+    summed bit-parallel: explode tokens → xxhash64 → per bit b an integer
+    aggregate sum(±1 by bit b) → sign → fingerprint. All codegen'd integer
+    expressions; the single shuffle is the groupBy(id) with map-side
+    partial aggregation."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def _popcount32(col):
+    """Hamming weight of a 32-bit value via SWAR expressions (no UDF)."""
+    x = col.bitwiseAND(F.lit(0xFFFFFFFF))
+    x = x - F.shiftright(x, 1).bitwiseAND(F.lit(0x55555555))
+    x = x.bitwiseAND(F.lit(0x33333333)) + F.shiftright(x, 2).bitwiseAND(F.lit(0x33333333))
+    x = (x + F.shiftright(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    return F.shiftright(x * F.lit(0x01010101), 24).bitwiseAND(F.lit(0xFF))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split the 32-bit fingerprint into ``bands`` slices;
+    any pair within distance < bands agrees exactly on ≥1 slice, so the
+    candidate join shuffles on (band, slice_value) only. Exact Hamming is
+    then verified with a SWAR popcount expression."""
+    width = 32 // bands
+    mask = (1 << width) - 1
+    banded = None
+    for b in range(bands):
+        part = fingerprints.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"), "band", "slice")
+    b_ = banded.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("sh_b"), "band", "slice")
+    cand = (
+        a.join(b_, ["band", "slice"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = _popcount32(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

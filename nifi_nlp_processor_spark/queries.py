@@ -1,0 +1,584 @@
+"""Query registry: every implemented operator exposed as a (Spark plan,
+DuckDB oracle SQL) pair over the driver-provided parquet tables.
+
+This is the correctness surface of the engine (SURVEY §2 inventory +
+training-data pipeline ops). Each entry:
+
+* ``spark``  — Callable[(SparkSession, sf_dir)] -> DataFrame, built from the
+  engine's real operator modules (never ad-hoc reimplementations), so the
+  gate exercises the production code paths.
+* ``oracle`` — ANSI-ish SQL DuckDB runs on the same parquet (views
+  pre-registered by the driver). Omitted for ops whose hash functions /
+  stateful paths are not SQL-expressible — those get a rows-only check.
+
+Column names are aliased identically on both sides; floating-point results
+are rounded or routed through exact decimal arithmetic so value hashes match
+across engines (see the per-query notes).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nifi_nlp_processor_spark.fixtures import (
+    EVENTS_AS_CHANGES_SQL,
+    events_from_generic_table,
+)
+from nifi_nlp_processor_spark.functions.dictionary import (
+    classify_columns,
+    lww_domain_winner,
+    membership,
+    percentage_match,
+)
+from nifi_nlp_processor_spark.functions.extractors import extract_entities_sql
+from nifi_nlp_processor_spark.functions.textstats import lang_id, quality_stats
+from nifi_nlp_processor_spark.lake import ParquetLakeTable
+from nifi_nlp_processor_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from nifi_nlp_processor_spark.operators.dedupe import lww_dedupe, salted_lww_dedupe
+from nifi_nlp_processor_spark.operators.quarantine import split_valid
+from nifi_nlp_processor_spark.operators.similarity import cosine_topk, lsh_topk
+from nifi_nlp_processor_spark.runner import CdcEngine
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# CDC core (change stream derived deterministically from `events`)
+# ---------------------------------------------------------------------------
+
+def _corrupt(ev: DataFrame) -> DataFrame:
+    """Deterministically null out ~2% of texts → quarantine fodder."""
+    return ev.withColumn(
+        "text",
+        F.when(F.col("lsn") % 53 == 0, F.lit(None).cast("string")).otherwise(F.col("text")),
+    )
+
+
+_CORRUPT_SQL = (
+    "SELECT * REPLACE (CASE WHEN lsn % 53 = 0 THEN NULL ELSE text END AS text) FROM changes"
+)
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-LSN LWW final state (SURVEY §2.5): one declarative partial+final
+    aggregation, deletes excluded."""
+    ev = events_from_generic_table(spark, sf_dir)
+    final = lww_dedupe(ev, ["conv_id", "turn_idx"])
+    return final.where(F.col("op") != "D").select(
+        "conv_id", "turn_idx", "lsn", "role", "text"
+    )
+
+
+_FINAL_STATE_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, lsn, role, text FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup over the salted two-phase LWW path
+    (SURVEY §4.2 #1) — proves the skew-split variant is state-identical."""
+    ev = events_from_generic_table(spark, sf_dir)
+    final = salted_lww_dedupe(ev, ["conv_id", "turn_idx"], salt_k=8)
+    return (
+        final.where(F.col("op") != "D")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.max("lsn").alias("max_lsn"))
+    )
+
+
+_CONV_ROLLUP_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, count(*) AS n_turns, max(lsn) AS max_lsn
+FROM r WHERE rn = 1 AND op <> 'D' GROUP BY conv_id
+"""
+
+
+def q_cdc_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter split (REL_FAILURE analogue, SURVEY §2.1 S7)."""
+    ev = _corrupt(events_from_generic_table(spark, sf_dir))
+    _valid, bad = split_valid(ev, ["conv_id", "turn_idx"])
+    return bad.groupBy(F.col("_reject_reason").alias("reason")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_QUARANTINE_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+cor AS ({_CORRUPT_SQL})
+SELECT 'null_text' AS reason, count(*) AS n
+FROM cor WHERE op <> 'D' AND text IS NULL
+HAVING count(*) > 0
+"""
+
+
+def q_cdc_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine end-to-end: 4 out-of-order epochs → quarantine → LWW
+    dedupe → bucketed copy-on-write MERGE with atomic epoch commits → read
+    the final snapshot (SURVEY §4.3 hot path). The oracle is the global
+    sequential LWW over valid events — equality proves per-epoch apply +
+    cross-epoch merge compose to the reference semantics."""
+    ev = _corrupt(events_from_generic_table(spark, sf_dir))
+    ev = ev.withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
+    root = tempfile.mkdtemp(prefix="cdc_e2e_")
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake)
+    engine.apply_epochs(ev)
+    return lake.read().select("conv_id", "turn_idx", "role", "text")
+
+
+_APPLY_E2E_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+cor AS ({_CORRUPT_SQL}),
+valid AS (SELECT * FROM cor WHERE NOT (op <> 'D' AND text IS NULL)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Enrichment / classification (reference operator parity, SURVEY §2.2/2.4)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def q_extract_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex find-all extractor (P3) through the JVM ``regexp_extract_all``
+    path; deterministic synthetic emails appended so matches exist."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ),
+    )
+    out = extract_entities_sql(docs, {"email": _EMAIL_RE})
+    return out.select(
+        "doc_id", F.array_join("pg_nlp_res_email", ",").alias("emails")
+    )
+
+
+_EXTRACT_EMAILS_SQL = rf"""
+SELECT doc_id,
+  array_to_string(list_sort(list_distinct(regexp_extract_all(
+    text || ' contact user' || doc_id || '@example' || (doc_id % 7) || '.com',
+    '{_EMAIL_RE}'))), ',') AS emails
+FROM documents
+"""
+
+_DICT_WORDS = ("table", "query", "scan", "join", "agg", "merge", "spark")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "source", F.explode(F.split("text", " ")).alias("value")
+    )
+
+
+def q_dict_membership_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary membership (P5) + percentage aggregate (A3): broadcast
+    left join + avg(indicator)*100, the reference's found/total*100.0."""
+    docs = load(spark, sf_dir, "documents")
+    dic = spark.createDataFrame([(w,) for w in _DICT_WORDS], "value string")
+    probed = membership(_tokens(docs), dic, mode="exact")
+    return percentage_match(probed, ["source"]).withColumn(
+        "frequency", F.round("frequency", 6)
+    )
+
+
+_IN_LIST = ", ".join(f"'{w}'" for w in _DICT_WORDS)
+_DICT_PCT_SQL = f"""
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS value FROM documents)
+SELECT source,
+  round(avg(CASE WHEN value IN ({_IN_LIST}) THEN 1 ELSE 0 END) * 100.0, 6) AS frequency
+FROM toks GROUP BY source
+"""
+
+_DOMAINS = {
+    "sparkish": ("spark", "stream", "batch", "window", "merge"),
+    "sqlish": ("query", "table", "scan", "join", "agg", "group"),
+}
+
+
+def q_classify_domain_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained classifier + max-frequency LWW winner (A4): two domain passes
+    unioned, winner per source by (frequency DESC, arrival ASC) — the exact
+    strict-`<` replace / tie-keeps-incumbent rule of the reference."""
+    docs = load(spark, sf_dir, "documents")
+    rows = [(d, w) for d, ws in _DOMAINS.items() for w in ws]
+    dicts = spark.createDataFrame(rows, "domain string, value string")
+    toks = _tokens(docs)
+    classified = None
+    for arrival, domain in enumerate(_DOMAINS, start=1):
+        c = classify_columns(
+            toks, dicts, domain, mode="exact", group_cols=["source"]
+        ).withColumn("arrival", F.lit(arrival))
+        classified = c if classified is None else classified.unionByName(c)
+    classified = classified.withColumn("frequency", F.round("frequency", 6))
+    return lww_domain_winner(classified, ["source"]).select(
+        "source", "domain", "frequency"
+    )
+
+
+def _domain_sql(domain: str, arrival: int) -> str:
+    in_list = ", ".join(f"'{w}'" for w in _DOMAINS[domain])
+    return f"""
+  SELECT source, '{domain}' AS domain, {arrival} AS arrival,
+    round(avg(CASE WHEN value IN ({in_list}) THEN 1 ELSE 0 END) * 100.0, 6) AS frequency
+  FROM toks GROUP BY source
+"""
+
+
+_CLASSIFY_SQL = f"""
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS value FROM documents),
+u AS ({_domain_sql("sparkish", 1)} UNION ALL {_domain_sql("sqlish", 2)}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY frequency DESC, arrival ASC) AS rn
+  FROM u WHERE frequency > 0.0
+)
+SELECT source, domain, frequency FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(lower(text)) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+
+
+# shared oracle CTE: distinct 3-gram shingles of the sampled docs
+_SHINGLE_CTE = """
+d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 5 = 0),
+tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM d),
+sh0 AS (
+  SELECT doc_id,
+    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+"""
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (portable md5 flavor) over 3-gram shingles —
+    oracle-verified bit-for-bit; the xxhash64 flavor powers the LSH query."""
+    sh = shingles(_sample_docs(spark, sf_dir), k=3)
+    return minhash_signatures(sh, num_hashes=4, hash_fn="md5")
+
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id,
+  min(md5('0|' || shingle)) AS h0,
+  min(md5('1|' || shingle)) AS h1,
+  min(md5('2|' || shingle)) AS h2,
+  min(md5('3|' || shingle)) AS h3
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted-index self-join."""
+    sh = shingles(_sample_docs(spark, sf_dir), k=3)
+    return jaccard_pairs(sh, min_jaccard=0.02).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS overlap
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+  round(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard
+FROM co JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.02
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: xxhash64 MinHash → LSH banding → exact Jaccard
+    verify of candidates only. Hash fn is JVM-internal → rows-only check."""
+    sh = shingles(_sample_docs(spark, sf_dir), k=3)
+    sig = minhash_signatures(sh, num_hashes=16, hash_fn="xxhash64")
+    cand = lsh_candidate_pairs(sig, bands=8)
+    return jaccard_pairs(sh, min_jaccard=0.0, candidates=cand).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (bit-parallel agg) — rows-only check."""
+    return simhash(_sample_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries, codegen'd fold, stable
+    rounded ranking. Double-precision sequential fold on both sides."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(
+      list_dot_product(qv, e.embedding::DOUBLE[]) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+      4) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (scale path) — rows-only check."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return quality_stats(docs).select(
+        "doc_id", "n_tokens", "stop_ratio", "avg_tok_len", "is_quality"
+    )
+
+
+_QUALITY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    round(len(list_filter(toks, w -> lower(w) IN ('a','the','of','and','to','in'))) * 1.0 / len(toks), 6) AS stop_ratio,
+    round(list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks), 6) AS avg_tok_len
+  FROM t
+)
+SELECT doc_id, n_tokens, stop_ratio, avg_tok_len,
+  (n_tokens >= 20 AND n_tokens <= 2000 AND stop_ratio <= 0.5) AS is_quality
+FROM m
+"""
+
+
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' '))) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", lang_id(F.col("text")).alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_LANG_ID_SQL = """
+SELECT lang,
+  CASE WHEN length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) * 1.0 / length(text) > 0.3
+       THEN 'cjk' ELSE 'latin' END AS pred,
+  count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational / streaming-shaped analytics over the star schema
+# ---------------------------------------------------------------------------
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting via lag window (gap > 30 min) — the event-time
+    sessionization primitive of the streaming layer, batch-checkable."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route through TIMESTAMP for the epoch-seconds
+    # cast (the session-tz shift cancels in the difference)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    return (
+        ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+  sum(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions
+FROM e GROUP BY user_id
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped partial+final hash aggregate; sums routed through
+    exact decimal so the value hash matches any engine."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).cast("double").alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,6))) AS double) AS sum_disc_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join (customer is the small dim) + hash aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+_SEGMENT_SQL = """
+SELECT c_mktsegment AS mktsegment, count(*) AS n_orders,
+  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_final_state": q_cdc_final_state,
+    "cdc_conv_rollup": q_cdc_conv_rollup,
+    "cdc_quarantine_stats": q_cdc_quarantine_stats,
+    "cdc_apply_e2e": q_cdc_apply_e2e,
+    "extract_emails": q_extract_emails,
+    "dict_membership_pct": q_dict_membership_pct,
+    "classify_domain_winner": q_classify_domain_winner,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_quality": q_text_quality,
+    "token_count_by_lang": q_token_count_by_lang,
+    "lang_id_pred": q_lang_id_pred,
+    "sessionize_events": q_sessionize_events,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_final_state": _FINAL_STATE_SQL,
+    "cdc_conv_rollup": _CONV_ROLLUP_SQL,
+    "cdc_quarantine_stats": _QUARANTINE_SQL,
+    "cdc_apply_e2e": _APPLY_E2E_SQL,
+    "extract_emails": _EXTRACT_EMAILS_SQL,
+    "dict_membership_pct": _DICT_PCT_SQL,
+    "classify_domain_winner": _CLASSIFY_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_minhash_sig": _MINHASH_SQL,
+    "dedup_jaccard_pairs": _JACCARD_SQL,
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: xxhash64-based —
+    # not SQL-expressible → rows-only check by design.
+    "ann_cosine_topk": _ANN_SQL,
+    "text_quality": _QUALITY_SQL,
+    "token_count_by_lang": _TOKEN_COUNT_SQL,
+    "lang_id_pred": _LANG_ID_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "pricing_summary": _PRICING_SQL,
+    "segment_revenue": _SEGMENT_SQL,
+}
