@@ -312,12 +312,17 @@ class ParquetLakeTable:
             F.col(lsn_col).cast("long").alias(META_LSN),
             (F.col(op_col) == "D").alias(META_DELETED),
         ).withColumn(BUCKET_COL, self._bucket_expr())
+        # the staged batch is scanned twice (touched-bucket probe + merge);
+        # persist so the upstream plan (source scan, quarantine filter,
+        # enrichment UDF stage, dedupe shuffle) runs once per epoch
+        src_rows = src_rows.persist()
 
         # touched buckets: tiny distinct (≤ n_buckets values)
         touched = sorted(
             r[0] for r in src_rows.select(BUCKET_COL).distinct().collect()
         )
         if not touched:
+            src_rows.unpersist()
             seq = (prev["seq"] + 1) if prev else 1
             commit = {
                 "seq": seq,
@@ -425,8 +430,11 @@ class ParquetLakeTable:
             .parquet(abs_dir)
         )
         m = obs.get
+        src_rows.unpersist()
 
-        # per-bucket LSN watermarks for lineage/resume metrics
+        # per-bucket LSN watermarks for lineage/resume metrics — read back
+        # from the files just written: column-pruned to (bucket, lsn), so
+        # the job cost is independent of row width
         wm_rows = (
             self.spark.read.parquet(abs_dir)
             .groupBy(BUCKET_COL)
