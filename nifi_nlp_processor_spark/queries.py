@@ -454,6 +454,35 @@ FROM documents GROUP BY 1, 2
 # Relational / streaming-shaped analytics over the star schema
 # ---------------------------------------------------------------------------
 
+def q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal media table rollup: deterministic synthetic binary
+    payloads + typed metadata derived from doc_id, aggregated per mime on
+    metadata only (the payload column is pruned out of the scan — see
+    tests/test_multimodal.py)."""
+    from nifi_nlp_processor_spark.functions.multimodal import media_summary, synth_media
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return media_summary(synth_media(docs)).withColumn(
+        "total_duration_ms", F.col("total_duration_ms").cast("long")
+    ).withColumn("max_pixels", F.col("max_pixels").cast("long"))
+
+
+_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+    CAST((doc_id * 7) % 1920 + 1 AS INTEGER) AS width,
+    CAST((doc_id * 13) % 1080 + 1 AS INTEGER) AS height,
+    CASE WHEN doc_id % 3 <> 0 THEN (doc_id * 31) % 600000 END AS duration_ms
+  FROM documents
+)
+SELECT mime, count(*) AS n_items,
+  CAST(sum(coalesce(duration_ms, 0)) AS BIGINT) AS total_duration_ms,
+  CAST(max(width * height) AS BIGINT) AS max_pixels
+FROM m GROUP BY mime
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session counting via lag window (gap > 30 min) — the event-time
     sessionization primitive of the streaming layer, batch-checkable."""
@@ -556,6 +585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id_pred": q_lang_id_pred,
+    "multimodal_summary": q_multimodal_summary,
     "sessionize_events": q_sessionize_events,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -578,6 +608,7 @@ ORACLES: dict[str, str] = {
     "text_quality": _QUALITY_SQL,
     "token_count_by_lang": _TOKEN_COUNT_SQL,
     "lang_id_pred": _LANG_ID_SQL,
+    "multimodal_summary": _MULTIMODAL_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "pricing_summary": _PRICING_SQL,
     "segment_revenue": _SEGMENT_SQL,

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nifi_nlp_processor_spark.lake import MergeMetrics, ParquetLakeTable
-from nifi_nlp_processor_spark.operators.dedupe import lww_dedupe
 from nifi_nlp_processor_spark.operators.quarantine import split_valid
 
 
@@ -68,8 +67,12 @@ class CdcEngine:
         if self.enrich is not None:
             valid = self.enrich(valid)
 
-        deduped = lww_dedupe(valid, list(self.key_cols))
-        metrics = self.lake.merge_into(deduped, epoch_id)
+        # No separate dedupe pass: merge_into's LWW aggregation groups by
+        # the same key and resolves intra-batch duplicates in the same
+        # max(struct(lsn, ...)) it uses against the target — a standalone
+        # lww_dedupe here would add a second full shuffle per epoch for
+        # nothing (the operator remains available for standalone use).
+        metrics = self.lake.merge_into(valid, epoch_id)
         res = EpochResult(epoch_id=epoch_id, merge=metrics, quarantined=n_bad)
         self.results.append(res)
         return res
