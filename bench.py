@@ -154,7 +154,7 @@ def cdc_throughput(
     lake = ParquetLakeTable(spark, root, n_buckets=max(32, cores))
     engine = CdcEngine(lake=lake)
     t0 = time.time()
-    engine.apply_epochs(events)
+    engine.apply_epochs(events, epoch_ids=list(range(n_epochs)))
     wall = time.time() - t0
     final_rows = lake.read().count()
     return {
@@ -180,9 +180,9 @@ def run_scaling(
     sf_dir: str,
     n_cores: int = 1,
     multiple: int = 4,
-    n_conversations: int = 15_000,
-    trials: int = 2,
-    cooldown_sec: int = 90,
+    n_conversations: int = 25_000,
+    trials: int = 3,
+    cooldown_sec: int = 120,
 ) -> dict:
     """Same job, same input, two parallelism levels (north rule's
     two-cluster-size criterion evidenced in-sandbox). The input is staged

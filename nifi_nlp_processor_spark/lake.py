@@ -280,9 +280,21 @@ class ParquetLakeTable:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(self.bucket_key), F.lit(self.n_buckets)).cast("int")
 
-    def merge_into(self, src: DataFrame, epoch_id: int, lsn_col: str = "lsn", op_col: str = "op") -> MergeMetrics:
+    def merge_into(
+        self,
+        src: DataFrame,
+        epoch_id: int,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        probe_src: DataFrame | None = None,
+    ) -> MergeMetrics:
         """MERGE src (one epoch's change events, may contain intra-batch
         duplicates) into the table under max-LSN LWW. Idempotent per epoch.
+
+        ``probe_src``: optional cheaper stand-in for the touched-bucket /
+        watermark probe — must contain the same (bucket-key, lsn) rows as
+        ``src`` (e.g. the pre-enrichment batch, so the probe pass does not
+        re-run an expensive UDF stage).
 
         Equivalent Iceberg statement (SURVEY §4.3):
             MERGE INTO tgt USING src ON tgt.conv_id=src.conv_id AND tgt.turn_idx=src.turn_idx
@@ -318,24 +330,28 @@ class ParquetLakeTable:
             F.col(lsn_col).cast("long").alias(META_LSN),
             (F.col(op_col) == "D").alias(META_DELETED),
         ).withColumn(BUCKET_COL, self._bucket_expr())
-        # the staged batch is scanned twice (touched-bucket probe + merge);
-        # persist so the upstream plan (source scan, quarantine filter,
-        # enrichment UDF stage, dedupe shuffle) runs once per epoch
-        src_rows = src_rows.persist()
 
-        # one probe job over the persisted batch: touched buckets AND the
-        # per-bucket source LSN maxima (≤ n_buckets rows back to the driver)
+        # Probe job: touched buckets AND per-bucket source LSN maxima
+        # (≤ n_buckets rows to the driver). Runs on a two-column projection
+        # of the (pre-enrichment, when provided) batch — Catalyst prunes
+        # the scan to the probe's columns, so this pass is much cheaper
+        # than materializing the full batch, and the merge job below reads
+        # the source through its own (columnar, cached-by-OS) scan.
         t_probe = time.time()
+        pdf = probe_src if probe_src is not None else src
         probe = {
             r[0]: r[1]
-            for r in src_rows.groupBy(BUCKET_COL)
+            for r in pdf.select(
+                self._bucket_expr().alias(BUCKET_COL),
+                F.col(lsn_col).cast("long").alias(META_LSN),
+            )
+            .groupBy(BUCKET_COL)
             .agg(F.max(META_LSN))
             .collect()
         }
         touched = sorted(probe)
         t_probe = time.time() - t_probe
         if not touched:
-            src_rows.unpersist()
             seq = (prev["seq"] + 1) if prev else 1
             commit = {
                 "seq": seq,
@@ -459,7 +475,6 @@ class ParquetLakeTable:
         )
         t_write = time.time() - t_write
         m = obs.get
-        src_rows.unpersist()
 
         # per-bucket LSN watermarks for lineage/resume metrics: a touched
         # bucket's new watermark is max(previous watermark, batch maximum) —

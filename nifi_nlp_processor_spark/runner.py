@@ -64,26 +64,41 @@ class CdcEngine:
             bad_out.write.mode("append").parquet(self.quarantine_dir)
             n_bad = -1  # count available from the quarantine table if needed
 
+        # Probe the raw batch (pre-quarantine, pre-enrichment): the probe
+        # then scans only (bucket-key, lsn) — never text or the UDF stage.
+        # Quarantined rows count toward LSN watermarks deliberately: the
+        # watermark means "source consumed through here" and a DLQ-routed
+        # event has been consumed (its bucket may be probed as touched with
+        # no live changes — a harmless no-op rewrite in the rare epoch
+        # where a bucket's every event is malformed).
+        probe_src = batch
         if self.enrich is not None:
             valid = self.enrich(valid)
 
         # No separate dedupe pass: merge_into's LWW aggregation groups by
         # the same key and resolves intra-batch duplicates in the same
-        # max(struct(lsn, ...)) it uses against the target — a standalone
-        # lww_dedupe here would add a second full shuffle per epoch for
-        # nothing (the operator remains available for standalone use).
-        metrics = self.lake.merge_into(valid, epoch_id)
+        # max_by it uses against the target — a standalone lww_dedupe here
+        # would add a second full shuffle per epoch for nothing (the
+        # operator remains available for standalone use).
+        metrics = self.lake.merge_into(valid, epoch_id, probe_src=probe_src)
         res = EpochResult(epoch_id=epoch_id, merge=metrics, quarantined=n_bad)
         self.results.append(res)
         return res
 
-    def apply_epochs(self, events: DataFrame, epoch_col: str = "epoch_id") -> list[EpochResult]:
+    def apply_epochs(
+        self,
+        events: DataFrame,
+        epoch_col: str = "epoch_id",
+        epoch_ids: list[int] | None = None,
+    ) -> list[EpochResult]:
         """Batch replay: partition the change stream by epoch and apply in
         epoch order. Epoch ids are collected (small: one per micro-batch),
-        the events themselves never reach the driver."""
-        epoch_ids = sorted(
-            r[0] for r in events.select(epoch_col).distinct().collect()
-        )
+        the events themselves never reach the driver; pass ``epoch_ids``
+        when the caller already knows them to skip the discovery job."""
+        if epoch_ids is None:
+            epoch_ids = sorted(
+                r[0] for r in events.select(epoch_col).distinct().collect()
+            )
         out = []
         for e in epoch_ids:
             batch = events.where(F.col(epoch_col) == e)
