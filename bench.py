@@ -45,10 +45,18 @@ SKIP_AT_BENCH: set[str] = set()
 
 
 def _force(df) -> int:
-    """Fully execute the plan. ``noop`` write would skip result assembly;
-    count() collapses to the driver but still runs every upstream stage
-    (scans, shuffles, UDF stages) at full width."""
-    return df.count()
+    """Fully execute the plan at full width. A bare count() would let
+    Catalyst prune columns the count doesn't need (a projection-only query
+    could skip materializing its wide text column); hashing every output
+    column into the aggregate forces result assembly while still returning
+    only one row to the driver."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("_h"),
+    ).collect()[0]
+    return row["n"]
 
 
 def run_queries(sf_dir: str, cores: int) -> dict:

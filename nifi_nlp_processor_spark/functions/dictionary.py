@@ -71,21 +71,22 @@ def membership(
             joined.withColumn("matched", F.col("_dict_key").isNotNull())
             .drop("_cand_key", "_dict_key")
         )
+    # Fuzzy probe runs over DISTINCT candidate keys only — the theta-join
+    # (levenshtein) cost is |distinct keys|×|dict|, and the boolean is then
+    # joined back on the key, so duplicate candidate rows are preserved
+    # 1:1 (joining the hit set back on all candidate columns would multiply
+    # duplicated rows — the round-1 row-inflation bug).
     cand = candidates.withColumn("_cand_key", key(F.col(candidate_col)))
-    hit = (
-        cand.join(
-            F.broadcast(dic),
-            F.levenshtein(F.col("_cand_key"), F.col("_dict_key")) <= max_edits,
-            "left_semi",
-        )
-        .select(*candidates.columns)
-        .withColumn("matched", F.lit(True))
-    )
+    probe_keys = cand.select("_cand_key").distinct()
+    hit_keys = probe_keys.join(
+        F.broadcast(dic),
+        F.levenshtein(F.col("_cand_key"), F.col("_dict_key")) <= max_edits,
+        "left_semi",
+    ).withColumn("matched", F.lit(True))
     return (
-        candidates.join(hit.select(*candidates.columns).withColumn("m", F.lit(True)),
-                        on=candidates.columns, how="left")
-        .withColumn("matched", F.coalesce(F.col("m"), F.lit(False)))
-        .drop("m")
+        cand.join(F.broadcast(hit_keys), "_cand_key", "left")
+        .withColumn("matched", F.coalesce(F.col("matched"), F.lit(False)))
+        .drop("_cand_key")
     )
 
 

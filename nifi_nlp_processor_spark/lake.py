@@ -339,9 +339,14 @@ class ParquetLakeTable:
         # the source through its own (columnar, cached-by-OS) scan.
         t_probe = time.time()
         pdf = probe_src if probe_src is not None else src
+        # Null-lsn rows are dropped from the probe defensively: a row whose
+        # watermark can't be computed must never mark a bucket touched nor
+        # produce a None watermark (int(None) would fail after the data
+        # write, before the commit — deterministically on every retry).
         probe = {
             r[0]: r[1]
-            for r in pdf.select(
+            for r in pdf.where(F.col(lsn_col).isNotNull())
+            .select(
                 self._bucket_expr().alias(BUCKET_COL),
                 F.col(lsn_col).cast("long").alias(META_LSN),
             )
@@ -403,7 +408,8 @@ class ParquetLakeTable:
         order = F.struct(
             F.col(META_LSN),
             F.col(META_DELETED),
-            F.xxhash64(*[F.col(c) for c in non_key]).alias("_h"),
+            # zero-arg xxhash64 is an AnalysisException (key-only schemas)
+            (F.xxhash64(*[F.col(c) for c in non_key]) if non_key else F.lit(0)).alias("_h"),
         )
         winner = F.max_by(payload, order).alias("_w")
         flags = [

@@ -39,7 +39,10 @@ def _winner_struct(df: DataFrame, keys: list[str], lsn_col: str):
     compares only the small order key; the content hash makes same-LSN
     ties deterministic (same content ⇒ same winner on any cluster)."""
     rest = [c for c in df.columns if c not in keys and c != lsn_col]
-    order = F.struct(F.col(lsn_col), F.xxhash64(*[F.col(c) for c in rest]).alias("_h"))
+    # xxhash64() with zero args is an AnalysisException; with no payload
+    # columns the lsn alone is a total order (nothing left to tie-break).
+    tiebreak = F.xxhash64(*[F.col(c) for c in rest]) if rest else F.lit(0)
+    order = F.struct(F.col(lsn_col), tiebreak.alias("_h"))
     payload = F.struct(F.col(lsn_col), *[F.col(c) for c in rest])
     return F.max_by(payload, order).alias("_w"), rest
 
@@ -63,7 +66,7 @@ def lww_dedupe_window(df: DataFrame, keys: list[str] = ["conv_id", "turn_idx"], 
     rest = [c for c in df.columns if c not in keys and c != lsn_col]
     order = [
         F.col(lsn_col).desc(),
-        F.xxhash64(*[F.col(c) for c in rest]).desc(),
+        (F.xxhash64(*[F.col(c) for c in rest]) if rest else F.lit(0)).desc(),
     ]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (

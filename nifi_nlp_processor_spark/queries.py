@@ -18,6 +18,8 @@ across engines (see the per-query notes).
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -141,7 +143,13 @@ def q_cdc_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-epoch merge compose to the reference semantics."""
     ev = _corrupt(events_from_generic_table(spark, sf_dir))
     ev = ev.withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
-    root = tempfile.mkdtemp(prefix="cdc_e2e_")
+    # deterministic per-(session, sf) lake root, wiped on re-entry so
+    # repeated bench/correctness runs never accumulate /tmp garbage; the
+    # directory must outlive this call (the returned DataFrame is lazy)
+    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir))):x}"
+    root = os.path.join(tempfile.gettempdir(), f"cdc_e2e_{tag}")
+    if os.path.exists(root):
+        shutil.rmtree(root)
     lake = ParquetLakeTable(spark, root, n_buckets=16)
     engine = CdcEngine(lake=lake)
     engine.apply_epochs(ev)
@@ -429,7 +437,8 @@ def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TOKEN_COUNT_SQL = """
-SELECT lang, count(*) AS n_docs, sum(len(string_split(text, ' '))) AS total_tokens
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
 
@@ -507,7 +516,7 @@ WITH e AS (
   FROM events
 )
 SELECT user_id,
-  sum(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions
+  CAST(sum(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM e GROUP BY user_id
 """
 

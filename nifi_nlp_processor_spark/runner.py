@@ -64,14 +64,16 @@ class CdcEngine:
             bad_out.write.mode("append").parquet(self.quarantine_dir)
             n_bad = -1  # count available from the quarantine table if needed
 
-        # Probe the raw batch (pre-quarantine, pre-enrichment): the probe
-        # then scans only (bucket-key, lsn) — never text or the UDF stage.
-        # Quarantined rows count toward LSN watermarks deliberately: the
-        # watermark means "source consumed through here" and a DLQ-routed
-        # event has been consumed (its bucket may be probed as touched with
-        # no live changes — a harmless no-op rewrite in the rare epoch
-        # where a bucket's every event is malformed).
-        probe_src = batch
+        # Probe the post-quarantine, PRE-enrichment frame: the probe still
+        # scans only (bucket-key, lsn) — never text or the UDF stage — but
+        # excludes DLQ-routed rows, so (a) a quarantined row with a null
+        # lsn can never poison the probe's max() (a None watermark would
+        # crash the merge after the data write, before the commit), (b) a
+        # null bucket key never marks an unrelated bucket touched (write
+        # amplification under a steady trickle of malformed events), and
+        # (c) the commit watermarks mean "applied-through" — an LSN-based
+        # resume reading them never skips a quarantined-then-fixed event.
+        probe_src = valid
         if self.enrich is not None:
             valid = self.enrich(valid)
 
