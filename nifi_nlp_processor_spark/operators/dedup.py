@@ -117,37 +117,70 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
+    bucket_fn: str = "xxhash64",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """MinHash-LSH banding: docs agreeing on every hash of ≥1 band become a
-    candidate pair (a_id < b_id). The only shuffle is groupBy(band, bucket);
-    a bucket of b docs yields C(b,2) pairs via a collect_list + in-bucket
-    pair expansion, which stays bounded because equal full-band agreement
-    at reasonable band width is rare (and a pathological bucket is exactly
-    the near-dup cluster we're hunting)."""
+    candidate pair (a_id < b_id). The only shuffle is groupBy(band, bucket).
+
+    ``bucket_fn``: 'xxhash64' keys buckets on a codegen'd 64-bit hash (the
+    scale path); 'concat' keys on the concatenated band hashes — engine-
+    portable, so DuckDB can reproduce the banding for oracle parity.
+
+    **Mega-bucket handling** (the web-scale case: a giant duplicate
+    cluster lands every copy in one bucket). Buckets with ≤ ``max_bucket``
+    members expand to all C(b,2) pairs via in-bucket expansion; larger
+    buckets switch to STAR expansion — every member pairs with the
+    bucket's minimum id only (b-1 pairs, computed by an aggregate + join,
+    no driver-side or single-task array of the bucket). Nothing is
+    dropped: every member still appears in ≥1 candidate pair, and the
+    full cluster is recoverable downstream by transitive closure
+    (union-find over pairs), which is how near-dup clusters are consumed
+    anyway. Output is linear in bucket size instead of quadratic, so one
+    hot bucket cannot OOM an executor or emit 10^11 rows."""
     hcols = [c for c in signatures.columns if c != id_col]
     per_band = len(hcols) // bands
     assert per_band >= 1, "more bands than hashes"
     banded = None
     for b in range(bands):
         cols = hcols[b * per_band : (b + 1) * per_band]
+        if bucket_fn == "xxhash64":
+            bucket = F.xxhash64(*[F.col(c) for c in cols])
+        elif bucket_fn == "concat":
+            bucket = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        else:
+            raise ValueError(f"unknown bucket_fn {bucket_fn!r}")
         part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+            F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket")
         )
         banded = part if banded is None else banded.unionByName(part)
-    grouped = banded.groupBy("band", "bucket").agg(
-        F.sort_array(F.collect_set(id_col)).alias("ids")
-    ).where(F.size("ids") > 1)
-    pairs = grouped.select(
+
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
+    ).where(F.col("_n") > 1)
+
+    small = stats.where(F.col("_n") <= max_bucket).drop("_n", "_min_id")
+    grouped = (
+        banded.join(small, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+    )
+    small_pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(ids, (x, i) -> "
                 "transform(slice(ids, i + 2, size(ids)), y -> struct(x as a_id, y as b_id))))"
             )
         ).alias("p")
-    ).select("p.a_id", "p.b_id").distinct()
-    return pairs
+    ).select("p.a_id", "p.b_id")
+
+    big = stats.where(F.col("_n") > max_bucket).select("band", "bucket", "_min_id")
+    big_pairs = (
+        banded.join(big, ["band", "bucket"])
+        .where(F.col(id_col) != F.col("_min_id"))
+        .select(F.col("_min_id").alias("a_id"), F.col(id_col).alias("b_id"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def jaccard_pairs(
@@ -155,6 +188,8 @@ def jaccard_pairs(
     min_jaccard: float = 0.5,
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
+    df_observation=None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing ≥1 shingle:
     (a_id, b_id, jaccard). Inverted-index self-join on the shingle — the
@@ -162,7 +197,27 @@ def jaccard_pairs(
     AQE stats, broadcast), count co-occurrences per pair, then join two
     tiny size relations. With ``candidates`` (e.g. LSH output) the
     co-occurrence join is semi-filtered first, so the exact pass verifies
-    only candidate pairs."""
+    only candidate pairs.
+
+    ``max_doc_freq``: the 100 TB guard. A stop-shingle shared by n docs
+    contributes n² rows to the self-join — one shingle appearing in 1M
+    docs is 10^12 join rows. Setting ``max_doc_freq`` drops shingles whose
+    document frequency exceeds it BEFORE the join (the standard DF-cap of
+    web-scale dedup); per-doc sizes are recomputed over the filtered
+    shingle space, so the result is exactly jaccard-over-non-stop-shingles
+    — deterministic and oracle-expressible, not a silent approximation of
+    the uncapped number. Pass an ``Observation`` as ``df_observation`` to
+    record how many distinct shingles the cap dropped
+    (``dropped_shingles`` metric) — capping is never silent."""
+    if max_doc_freq is not None:
+        freq = doc_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        if df_observation is not None:
+            freq = freq.observe(
+                df_observation,
+                F.sum((F.col("_df") > max_doc_freq).cast("long")).alias("dropped_shingles"),
+            )
+        kept = freq.where(F.col("_df") <= max_doc_freq).select("shingle")
+        doc_shingles = doc_shingles.join(kept, "shingle", "left_semi")
     sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = doc_shingles.select(F.col(id_col).alias("a_id"), "shingle")
     b = doc_shingles.select(F.col(id_col).alias("b_id"), "shingle")
@@ -193,16 +248,28 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """32-bit SimHash per doc: (id, simhash). Token-hash bit votes are
-    summed bit-parallel: explode tokens → xxhash64 → per bit b an integer
+    summed bit-parallel: explode tokens → hash → per bit b an integer
     aggregate sum(±1 by bit b) → sign → fingerprint. All codegen'd integer
     expressions; the single shuffle is the groupBy(id) with map-side
-    partial aggregation."""
+    partial aggregation.
+
+    ``hash_fn``: 'xxhash64' stays fully in codegen (scale path); 'md5_32'
+    takes the first 8 hex digits of md5 as an unsigned 32-bit int —
+    engine-portable (DuckDB: ``CAST('0x'||substr(md5(w),1,8) AS BIGINT)``),
+    used for oracle parity."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("w")
+    elif hash_fn == "md5_32":
+        h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    ).select(F.col(id_col), h.alias("h"))
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)

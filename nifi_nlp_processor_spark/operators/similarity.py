@@ -127,12 +127,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    round_digits: int | None = 4,
 ) -> DataFrame:
     """Bucketed ANN: hash corpus + queries to hyperplane sign buckets, score
     only within the query's bucket, exact re-rank. Recall < 1 by design;
     the scale win is that each query scores |corpus| / 2^planes candidates.
     The corpus-side bucket column is computable once and persisted in a real
     deployment (hidden-partition by bucket ⇒ partition pruning per query).
+    Scores are rounded BEFORE ranking (like ``cosine_topk``) so rank
+    boundaries are stable across engines/summation orders; ties break by
+    neighbor id.
     """
     planes = hyperplanes(dim, n_planes, seed)
     c = lsh_bucket(
@@ -149,11 +153,13 @@ def lsh_topk(
     scored = with_cosine(joined, "_qv", "_cv").where(
         F.col("query_id") != F.col("neighbor_id")
     )
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round("score", round_digits))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 4).alias("score"))
+        .select("query_id", "neighbor_id", "rank", "score")
     )

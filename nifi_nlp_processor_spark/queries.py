@@ -46,6 +46,7 @@ from nifi_nlp_processor_spark.operators.dedup import (
     minhash_signatures,
     shingles,
     simhash,
+    simhash_near_pairs,
 )
 from nifi_nlp_processor_spark.operators.dedupe import lww_dedupe, salted_lww_dedupe
 from nifi_nlp_processor_spark.operators.quarantine import split_valid
@@ -349,20 +350,148 @@ WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.02
 """
 
 
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled documents plus DERIVED near-duplicates: every doc_id % 10 == 0
+    doc reappears as (doc_id + 1000000, text || ' neardup') — jaccard vs the
+    original ≈ (n-2)/(n-1) over 3-shingles. The test data has no natural
+    near-dups (max pairwise jaccard 0.04 at sf0.01), so without planting,
+    an LSH correctness check verifies zero rows — vacuously. The same
+    derivation is expressed in the oracle SQL (``_NEAR_DUP_CTE``)."""
+    docs = _sample_docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" neardup")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+_NEAR_DUP_CTE = """
+dd AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' neardup' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+# shared oracle CTE: distinct 3-gram shingles of dd (sampled + planted dups)
+_DUP_SHINGLE_CTE = f"""
+{_NEAR_DUP_CTE},
+dtok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
+dtok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM dtok0),
+dsh0 AS (
+  SELECT doc_id,
+    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+  FROM dtok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM dsh0 WHERE shingle IS NOT NULL)
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path near-dup: xxhash64 MinHash → LSH banding → exact Jaccard
-    verify of candidates only. Hash fn is JVM-internal → rows-only check."""
-    sh = shingles(_sample_docs(spark, sf_dir), k=3)
-    sig = minhash_signatures(sh, num_hashes=16, hash_fn="xxhash64")
-    cand = lsh_candidate_pairs(sig, bands=8)
-    return jaccard_pairs(sh, min_jaccard=0.0, candidates=cand).withColumn(
+    """Near-dup pipeline end-to-end: MinHash signatures → LSH banding →
+    exact Jaccard verify of candidates only, over docs with planted
+    near-duplicates. Portable md5 signature + concat band buckets so the
+    whole pipeline (banding included) is DuckDB-expressible; the xxhash64
+    scale flavor is cross-checked against this one in
+    tests/test_dedup_scale.py."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    sh = shingles(docs, k=3)
+    sig = minhash_signatures(sh, num_hashes=8, hash_fn="md5")
+    cand = lsh_candidate_pairs(sig, bands=4, bucket_fn="concat")
+    return jaccard_pairs(sh, min_jaccard=0.5, candidates=cand).withColumn(
         "jaccard", F.round("jaccard", 6)
     )
 
 
+_MINHASH_LSH_SQL = f"""
+WITH {_DUP_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+  FROM dsh GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS bucket FROM sig"
+      for b in range(4)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS overlap
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT co.a_id, co.b_id,
+    round(overlap * 1.0 / (sa.n + sb.n - overlap), 6) AS jaccard
+  FROM co
+  JOIN cand ON cand.a_id = co.a_id AND cand.b_id = co.b_id
+  JOIN sizes sa ON sa.doc_id = co.a_id JOIN sizes sb ON sb.doc_id = co.b_id
+)
+SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def _simhash_votes_sql(src: str, bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+stok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+stok AS (SELECT doc_id, unnest(t) AS w FROM stok0),
+sh32 AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h FROM stok),
+votes AS (SELECT doc_id, {votes} FROM sh32 GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (bit-parallel agg) — rows-only check."""
-    return simhash(_sample_docs(spark, sf_dir))
+    """32-bit SimHash fingerprints (bit-parallel agg), portable md5_32
+    token hash — oracle-verified bit-for-bit; the xxhash64 scale flavor is
+    cross-checked in tests/test_dedup_scale.py."""
+    return simhash(_sample_docs(spark, sf_dir), hash_fn="md5_32")
+
+
+_SIMHASH_SQL = f"""
+WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+{_simhash_votes_sql("sdocs")}
+SELECT doc_id, simhash FROM fp
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pigeonhole banding + SWAR popcount) over the
+    planted-near-dup corpus, portable hash flavor."""
+    fp = simhash(_docs_with_near_dups(spark, sf_dir), hash_fn="md5_32")
+    return simhash_near_pairs(fp, max_hamming=3, bands=4)
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_NEAR_DUP_CTE},
+{_simhash_votes_sql("dd")},
+bands(band) AS (SELECT unnest([0, 1, 2, 3])),
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS slice
+  FROM fp, bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+    a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -397,9 +526,46 @@ SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (scale path) — rows-only check."""
+    """Hyperplane-LSH bucketed ANN (scale path). The hyperplanes are
+    deterministic driver-side literals, so the identical sign-bucket +
+    in-bucket cosine re-rank is expressed in the DuckDB oracle too."""
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=6)
+
+
+def _ann_lsh_sql() -> str:
+    from nifi_nlp_processor_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=6, seed=42)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, pv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN list_dot_product(v, pv) > 0 THEN 1 << pid ELSE 0 END) AS INT) AS bucket
+  FROM e, planes GROUP BY vec_id
+),
+c AS (SELECT b.vec_id AS neighbor_id, b.bucket, e.v AS cv FROM bkt b JOIN e ON e.vec_id = b.vec_id),
+q AS (SELECT b.vec_id AS query_id, b.bucket, e.v AS qv FROM bkt b JOIN e ON e.vec_id = b.vec_id
+      WHERE b.vec_id < 20),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+    round(
+      list_dot_product(qv, cv) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+      4) AS score
+  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -589,6 +755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "text_quality": q_text_quality,
@@ -611,9 +778,11 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_sig": _MINHASH_SQL,
     "dedup_jaccard_pairs": _JACCARD_SQL,
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: xxhash64-based —
-    # not SQL-expressible → rows-only check by design.
+    "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+    "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,
+    "ann_lsh_topk": _ann_lsh_sql(),
     "text_quality": _QUALITY_SQL,
     "token_count_by_lang": _TOKEN_COUNT_SQL,
     "lang_id_pred": _LANG_ID_SQL,
