@@ -90,6 +90,46 @@ def membership(
     )
 
 
+def parse_raw_dictionary(col: Column) -> Column:
+    """S8/P6 — the writer/reader shape dispatch
+    (PontusLuceneIndexWriterProcessor.java:160-177 /
+    PontusLuceneIndexReaderProcessor.java:152-171): input starting with
+    ``[`` is a JSON array of strings; else, input containing a newline is
+    split on ``\\n`` (trailing empties dropped, as Java ``String.split``
+    does); else — a bare single value — yields ZERO entries, the edge where
+    the reference reader computes found/total = 0/0 ⇒ NaN. Returns an
+    ``array<string>`` column."""
+    stripped = F.regexp_replace(col, r"\n+$", "")
+    return (
+        F.when(col.startswith("["), F.from_json(col, "array<string>"))
+        .when(
+            col.contains("\n"),
+            F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+                F.split(stripped, "\n")
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def dictionary_from_raw(
+    raw: DataFrame,
+    input_col: str = "raw",
+    mode: str = "analyzed",
+) -> DataFrame:
+    """Dictionary build (the Lucene index-writer analogue, SURVEY §2.1 S8):
+    each raw blob (JSON-array or newline file content) explodes to one
+    ``value`` row; 'analyzed' mode stores the normalized key (TextField +
+    BrazilianAnalyzer ≈ lowercase/accent-fold/trim), 'exact' stores
+    verbatim (StringField). Run once, then broadcast via ``membership``."""
+    vals = raw.select(
+        F.explode(parse_raw_dictionary(F.col(input_col))).alias("value")
+    )
+    if mode == "analyzed":
+        vals = vals.select(normalize_analyzed(F.col("value")).alias("value"))
+    return vals.distinct()
+
+
 def percentage_match(
     probed: DataFrame,
     group_cols: list[str] = ["col_name"],

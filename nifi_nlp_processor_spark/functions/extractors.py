@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -70,6 +70,127 @@ DEFAULT_REGISTRY: dict[str, str] = {
 }
 
 _JAVA_HEX_CLASS = re.compile(r"\\x\{([0-9a-fA-F]+)\}")
+
+# PontusProcessorBase.java:72 — default threshold keeps everything,
+# including zero-probability spans (the filter is strict `>`).
+DEFAULT_THRESHOLD = -0.01
+
+
+def input_precedence(
+    attr_col: Column | None,
+    prop_value: Column | str | None,
+    content_col: Column | str = "text",
+) -> Column:
+    """P1 — the entry of every reference processor (getInputData,
+    PontusProcessorBase.java:234-263): attribute first, configured property
+    second (expression-language → any Column expression here), file content
+    last. One ``coalesce``; a null/absent stage falls through exactly like
+    the reference's null checks."""
+    stages = []
+    if attr_col is not None:
+        stages.append(attr_col)
+    if prop_value is not None:
+        stages.append(F.lit(prop_value) if isinstance(prop_value, str) else prop_value)
+    stages.append(F.col(content_col) if isinstance(content_col, str) else content_col)
+    return F.coalesce(*stages)
+
+
+def threshold_filter(entities: Column, threshold: float = DEFAULT_THRESHOLD) -> Column:
+    """P2 — probability-threshold filter over an
+    ``array<struct<value:string, prob:double>>`` enrichment column: keep a
+    span iff ``prob > threshold`` — strict `>`, so the default -0.01 keeps
+    all spans including prob==0.0 ones, and a threshold equal to a span's
+    prob drops it (PontusProcessorBase.java:69-83; applied in
+    PontusNLPProcessor.java:394-403 and the Watson/Google/AWS variants)."""
+    return F.filter(entities, lambda x: x["prob"] > F.lit(float(threshold)))
+
+
+def limit_entities(entities: Column, limit: int = 250) -> Column:
+    """T2 — entity cap, the Watson ``EntitiesOptions.limit(250)``
+    (PontusNLPWatsonProcessor.java:162): first ``limit`` elements."""
+    return F.slice(entities, 1, limit)
+
+
+def full_match(col: Column, pattern: str) -> Column:
+    """P4 — anchored full-match predicate, the regex classifier's
+    ``pattern.matcher(data).matches()`` (no flags,
+    PontusDiscoveryRegexDBClassifierProcessor.java:115-119). ``rlike`` runs
+    the JVM regex engine — the same dialect the reference compiles — so the
+    pattern is passed through untranslated, wrapped in a non-capturing
+    anchor."""
+    return col.rlike(f"^(?:{pattern})$")
+
+
+def regex_span_backend(pattern: str, prob: float = 1.0):
+    """A deterministic enrichment backend: JVM find-all over the input with
+    the group-1..n rule, each hit emitted as ``(value, prob)``. The
+    reference's in-process regex path (E1) attaches no probability — spans
+    are certain — so prob defaults to 1.0 (kept by any threshold < 1)."""
+
+    def backend(data: Column) -> Column:
+        n_groups = re.compile(translate_java_regex(pattern)).groups
+        inline = "(?im)" + pattern
+        if n_groups == 0:
+            arr = F.regexp_extract_all(data, F.lit(inline), 0)
+        else:
+            parts = [
+                F.regexp_extract_all(data, F.lit(inline), g)
+                for g in range(1, n_groups + 1)
+            ]
+            arr = F.filter(
+                F.concat(*parts) if len(parts) > 1 else parts[0],
+                lambda x: x != "",
+            )
+        return F.transform(
+            arr,
+            lambda v: F.struct(
+                v.alias("value"), F.lit(float(prob)).alias("prob")
+            ),
+        )
+
+    return backend
+
+
+def enrich_entities(
+    df: DataFrame,
+    backends: dict,
+    attr_col: Column | None = None,
+    prop_value: Column | str | None = None,
+    text_col: str = "text",
+    threshold: float = DEFAULT_THRESHOLD,
+    limit: int = 250,
+    prefix: str = "pg_nlp_res_",
+) -> DataFrame:
+    """The shared orchestration all five reference enrichment processors
+    run (SURVEY §2.9): input precedence (P1) → backend span extraction →
+    entity cap (T2, the Watson request-side ``limit(250)``) → strict
+    probability-threshold filter (P2) → per-type sorted-distinct set-union
+    merge into ``pg_nlp_res_<type>`` (A1/A2).
+
+    ``backends`` maps entity type → callable ``(data: Column) ->
+    array<struct<value:string, prob:double>>``. Deterministic backends
+    (``regex_span_backend``) stay pure Column expressions — whole-stage
+    codegen, no Python on the hot path; a model-backed backend would wrap
+    a pandas UDF behind the same signature. The cap is applied before the
+    threshold, as the reference's Watson flow does (the 250 cap is on the
+    API request, relevance filtering happens on the response,
+    PontusNLPWatsonProcessor.java:162,202-210).
+    """
+    data = input_precedence(attr_col, prop_value, text_col)
+    out = df
+    for etype, backend in sorted(backends.items()):
+        spans = threshold_filter(
+            limit_entities(backend(data), limit), threshold
+        )
+        vals = F.transform(spans, lambda x: x["value"])
+        c = result_col(etype, prefix)
+        merged = (
+            F.array_union(F.coalesce(F.col(c), F.array()), vals)
+            if c in out.columns
+            else vals
+        )
+        out = out.withColumn(c, F.array_sort(F.array_distinct(merged)))
+    return out
 
 
 def translate_java_regex(pattern: str) -> str:

@@ -32,6 +32,7 @@ from nifi_nlp_processor_spark.fixtures import (
 )
 from nifi_nlp_processor_spark.functions.dictionary import (
     classify_columns,
+    dictionary_from_raw,
     lww_domain_winner,
     membership,
     percentage_match,
@@ -275,6 +276,183 @@ r AS (
   FROM u WHERE frequency > 0.0
 )
 SELECT source, domain, frequency FROM r WHERE rn = 1
+"""
+
+
+def q_dict_from_raw_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P6 — dictionary built from a raw newline blob (the Lucene
+    index-writer input format, shape-dispatched), then the standard
+    membership + percentage pipeline. The blob carries a trailing newline
+    to exercise Java split semantics (trailing empties dropped)."""
+    docs = load(spark, sf_dir, "documents")
+    raw = spark.createDataFrame(
+        [("\n".join(_DICT_WORDS) + "\n",)], "raw string"
+    )
+    dic = dictionary_from_raw(raw, mode="exact")
+    probed = membership(_tokens(docs), dic, mode="exact")
+    return percentage_match(probed, ["source"]).withColumn(
+        "frequency", F.round("frequency", 6)
+    )
+
+
+def q_classify_regex_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — regex full-match classifier chained after the dictionary
+    classifiers, exactly the reference test flow
+    (PontusDiscoveryRegexDBClassifierProcessorTest.java:39-116: email + CPF
+    regex classifiers run after the Lucene ones, same LWW winner rule)."""
+    from nifi_nlp_processor_spark.functions.extractors import full_match
+
+    docs = load(spark, sf_dir, "documents")
+    rows = [(d, w) for d, ws in _DOMAINS.items() for w in ws]
+    dicts = spark.createDataFrame(rows, "domain string, value string")
+    toks = _tokens(docs)
+    passes = []
+    for arrival, domain in enumerate(_DOMAINS, start=1):
+        passes.append(
+            classify_columns(toks, dicts, domain, mode="exact", group_cols=["source"])
+            .withColumn("arrival", F.lit(arrival))
+        )
+    regex_probe = toks.withColumn("matched", full_match(F.col("value"), ".*e"))
+    passes.append(
+        percentage_match(regex_probe, ["source"])
+        .withColumn("domain", F.lit("e_suffixed"))
+        .withColumn("arrival", F.lit(len(passes) + 1))
+    )
+    classified = passes[0]
+    for p in passes[1:]:
+        classified = classified.unionByName(p)
+    classified = classified.withColumn("frequency", F.round("frequency", 6))
+    return lww_domain_winner(classified, ["source"]).select(
+        "source", "domain", "frequency"
+    )
+
+
+_CLASSIFY_REGEX_SQL = f"""
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS value FROM documents),
+u AS (
+  {_domain_sql("sparkish", 1)} UNION ALL {_domain_sql("sqlish", 2)}
+  UNION ALL
+  SELECT source, 'e_suffixed' AS domain, 3 AS arrival,
+    round(avg(CASE WHEN regexp_full_match(value, '.*e') THEN 1 ELSE 0 END) * 100.0, 6) AS frequency
+  FROM toks GROUP BY source
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY frequency DESC, arrival ASC) AS rn
+  FROM u WHERE frequency > 0.0
+)
+SELECT source, domain, frequency FROM r WHERE rn = 1
+"""
+
+
+def q_colmeta_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColMetadata envelope end-to-end (the classifier trio's real I/O
+    format): build the ``pg_rdb_col_metadata`` JSON envelope per source
+    (``to_json``), parse it back (``from_json`` + double explode), run a
+    chained dict → dict → regex classifier pass, fold with the reference's
+    strict-improvement upsert, and emit the winners long-format. The
+    nested ``{metadata:{columns:[...]}}`` output is golden-tested in
+    tests/test_colmeta.py (JSON-string equality is engine-specific, so the
+    oracle checks the long format)."""
+    from nifi_nlp_processor_spark.functions.colmeta import (
+        classify_dict,
+        classify_regex,
+        parse_col_metadata,
+        upsert_discovery,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.slice(F.array_sort(F.collect_set(F.split("text", " ")[0])), 1, 10).alias("toks"),
+        F.slice(
+            F.array_sort(F.collect_set(F.col("doc_id").cast("string"))), 1, 5
+        ).alias("ids"),
+    )
+    envelopes = per_source.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(" toks ").alias("colName"),
+                        F.lit(1).cast("long").alias("ordinalPos"),
+                        F.col("toks").alias("vals"),
+                    ),
+                    F.struct(
+                        F.lit("ids").alias("colName"),
+                        F.lit(2).cast("long").alias("ordinalPos"),
+                        F.col("ids").alias("vals"),
+                    ),
+                ).alias("colMetaData"),
+                F.col("source").alias("tableName"),
+                F.concat(F.lit("docs."), F.col("source")).alias("fqn"),
+            )
+        ).alias("pg_rdb_col_metadata")
+    )
+    samples = parse_col_metadata(envelopes)
+    rows = [(d, w) for d, ws in _DOMAINS.items() for w in ws]
+    dicts = spark.createDataFrame(rows, "domain string, value string")
+    passes = [
+        classify_dict(samples, dicts.where(F.col("domain") == "sparkish"), "sparkish", 1, mode="exact"),
+        classify_dict(samples, dicts.where(F.col("domain") == "sqlish"), "sqlish", 2, mode="exact"),
+        classify_regex(samples, "[0-9]+", "numberish", 3),
+    ]
+    classified = passes[0]
+    for p in passes[1:]:
+        classified = classified.unionByName(p)
+    classified = classified.withColumn("frequency", F.round("frequency", 6))
+    disc = upsert_discovery(classified)
+    return disc.select(
+        "table_name",
+        "col_name",
+        "domain",
+        "frequency",
+        F.size(F.coalesce(F.col("semantic_domains"), F.array())).alias("n_improvements"),
+    )
+
+
+_COLMETA_SQL = """
+WITH per_source AS (
+  SELECT source,
+    list_sort(list_distinct(list(string_split(text, ' ')[1])))[1:10] AS toks,
+    list_sort(list_distinct(list(CAST(doc_id AS VARCHAR))))[1:5] AS ids
+  FROM documents GROUP BY source
+),
+samples AS (
+  SELECT source AS table_name, 'toks' AS col_name, unnest(toks) AS value FROM per_source
+  UNION ALL
+  SELECT source, 'ids', unnest(ids) FROM per_source
+),
+u AS (
+  SELECT table_name, col_name, 'sparkish' AS domain, 1 AS arrival,
+    round(avg(CASE WHEN value IN ('spark', 'stream', 'batch', 'window', 'merge') THEN 1 ELSE 0 END) * 100.0, 6) AS frequency
+  FROM samples GROUP BY 1, 2
+  UNION ALL
+  SELECT table_name, col_name, 'sqlish', 2,
+    round(avg(CASE WHEN value IN ('query', 'table', 'scan', 'join', 'agg', 'group') THEN 1 ELSE 0 END) * 100.0, 6)
+  FROM samples GROUP BY 1, 2
+  UNION ALL
+  SELECT table_name, col_name, 'numberish', 3,
+    round(avg(CASE WHEN regexp_full_match(value, '[0-9]+') THEN 1 ELSE 0 END) * 100.0, 6)
+  FROM samples GROUP BY 1, 2
+),
+imp AS (
+  SELECT *,
+    frequency > coalesce(max(frequency) OVER (
+      PARTITION BY table_name, col_name ORDER BY arrival
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+    AND frequency > 0.0 AS improved
+  FROM u
+),
+win AS (
+  SELECT table_name, col_name,
+    arg_max(domain, frequency) AS domain,
+    max(frequency) AS frequency,
+    count(*) AS n_improvements
+  FROM imp WHERE improved GROUP BY 1, 2
+)
+SELECT c.table_name, c.col_name, w.domain, w.frequency,
+  CAST(coalesce(w.n_improvements, 0) AS INT) AS n_improvements
+FROM (SELECT DISTINCT table_name, col_name FROM samples) c
+LEFT JOIN win w ON w.table_name = c.table_name AND w.col_name = c.col_name
 """
 
 
@@ -749,7 +927,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_e2e": q_cdc_apply_e2e,
     "extract_emails": q_extract_emails,
     "dict_membership_pct": q_dict_membership_pct,
+    "dict_from_raw_pct": q_dict_from_raw_pct,
     "classify_domain_winner": q_classify_domain_winner,
+    "classify_regex_winner": q_classify_regex_winner,
+    "colmeta_discovery": q_colmeta_discovery,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -774,7 +955,10 @@ ORACLES: dict[str, str] = {
     "cdc_apply_e2e": _APPLY_E2E_SQL,
     "extract_emails": _EXTRACT_EMAILS_SQL,
     "dict_membership_pct": _DICT_PCT_SQL,
+    "dict_from_raw_pct": _DICT_PCT_SQL,
     "classify_domain_winner": _CLASSIFY_SQL,
+    "classify_regex_winner": _CLASSIFY_REGEX_SQL,
+    "colmeta_discovery": _COLMETA_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_minhash_sig": _MINHASH_SQL,
     "dedup_jaccard_pairs": _JACCARD_SQL,
