@@ -160,6 +160,55 @@ def classify_columns(
     return percentage_match(probed, group_cols).withColumn("domain", F.lit(domain))
 
 
+def classify_columns_multi(
+    col_samples: DataFrame,
+    dictionaries: DataFrame,
+    arrivals: dict[str, int],
+    mode: str = "analyzed",
+    group_cols: list[str] = ["col_name"],
+    value_col: str = "value",
+) -> DataFrame:
+    """All classifier passes fused into ONE scan: the chained reference
+    flow probes the sample stream once per domain (one processor each,
+    PontusDiscoveryDBClassifierProcessorTest.java:153-162), which in Spark
+    means re-exploding and re-joining the token stream per domain. This
+    variant explodes once, joins once against the broadcast UNION
+    dictionary (domain column carried through), and derives every
+    (group, domain, frequency, arrival) row from two aggregations — at
+    scale the sample-stream scan dominates, so cost is ~1/n_domains of the
+    chained form. Semantics identical to unioning ``classify_columns``
+    passes (same oracle; zero-frequency probes retained)."""
+    key = normalize_analyzed if mode == "analyzed" else (lambda c: c)
+    dic = dictionaries.select(
+        "domain", key(F.col("value")).alias("_dict_key")
+    ).distinct()
+    cand = col_samples.withColumn("_cand_key", key(F.col(value_col)))
+    totals = cand.groupBy(*group_cols).agg(F.count("*").alias("_total"))
+    found = (
+        cand.join(
+            F.broadcast(dic), F.col("_cand_key") == F.col("_dict_key")
+        )
+        .groupBy(*group_cols, "domain")
+        .agg(F.count("*").alias("_found"))
+    )
+    spark = col_samples.sparkSession
+    grid = spark.createDataFrame(
+        sorted(arrivals.items()), "domain string, arrival int"
+    )
+    return (
+        totals.crossJoin(F.broadcast(grid))
+        .join(found, [*group_cols, "domain"], "left")
+        .select(
+            *group_cols,
+            "domain",
+            "arrival",
+            (
+                F.coalesce(F.col("_found"), F.lit(0)) / F.col("_total") * 100.0
+            ).alias("frequency"),
+        )
+    )
+
+
 def lww_domain_winner(
     classified: DataFrame,
     group_cols: list[str] = ["col_name"],

@@ -1,4 +1,4 @@
-from nifi_nlp_processor_spark.operators.dedupe import (  # noqa: F401
+from nifi_nlp_processor_spark.operators.cdc_lww import (  # noqa: F401
     lww_dedupe,
     lww_dedupe_window,
     salted_lww_dedupe,

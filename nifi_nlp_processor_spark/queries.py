@@ -32,6 +32,7 @@ from nifi_nlp_processor_spark.fixtures import (
 )
 from nifi_nlp_processor_spark.functions.dictionary import (
     classify_columns,
+    classify_columns_multi,
     dictionary_from_raw,
     lww_domain_winner,
     membership,
@@ -40,7 +41,7 @@ from nifi_nlp_processor_spark.functions.dictionary import (
 from nifi_nlp_processor_spark.functions.extractors import extract_entities_sql
 from nifi_nlp_processor_spark.functions.textstats import lang_id, quality_stats
 from nifi_nlp_processor_spark.lake import ParquetLakeTable
-from nifi_nlp_processor_spark.operators.dedup import (
+from nifi_nlp_processor_spark.operators.doc_dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -49,7 +50,7 @@ from nifi_nlp_processor_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
-from nifi_nlp_processor_spark.operators.dedupe import lww_dedupe, salted_lww_dedupe
+from nifi_nlp_processor_spark.operators.cdc_lww import lww_dedupe, salted_lww_dedupe
 from nifi_nlp_processor_spark.operators.quarantine import split_valid
 from nifi_nlp_processor_spark.operators.similarity import cosine_topk, lsh_topk
 from nifi_nlp_processor_spark.runner import CdcEngine
@@ -240,19 +241,20 @@ _DOMAINS = {
 
 
 def q_classify_domain_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chained classifier + max-frequency LWW winner (A4): two domain passes
-    unioned, winner per source by (frequency DESC, arrival ASC) — the exact
-    strict-`<` replace / tie-keeps-incumbent rule of the reference."""
+    """Chained classifier + max-frequency LWW winner (A4): all domain
+    passes fused into one token-stream scan (``classify_columns_multi`` —
+    one explode + one broadcast union-dictionary join instead of a scan per
+    domain), winner per source by (frequency DESC, arrival ASC) — the exact
+    strict-`<` replace / tie-keeps-incumbent rule of the reference. The
+    oracle computes the chained per-domain form, proving the fused plan
+    equivalent."""
     docs = load(spark, sf_dir, "documents")
     rows = [(d, w) for d, ws in _DOMAINS.items() for w in ws]
     dicts = spark.createDataFrame(rows, "domain string, value string")
-    toks = _tokens(docs)
-    classified = None
-    for arrival, domain in enumerate(_DOMAINS, start=1):
-        c = classify_columns(
-            toks, dicts, domain, mode="exact", group_cols=["source"]
-        ).withColumn("arrival", F.lit(arrival))
-        classified = c if classified is None else classified.unionByName(c)
+    arrivals = {d: i for i, d in enumerate(_DOMAINS, start=1)}
+    classified = classify_columns_multi(
+        _tokens(docs), dicts, arrivals, mode="exact", group_cols=["source"]
+    )
     classified = classified.withColumn("frequency", F.round("frequency", 6))
     return lww_domain_winner(classified, ["source"]).select(
         "source", "domain", "frequency"

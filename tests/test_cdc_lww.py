@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from nifi_nlp_processor_spark.fixtures import ChangeStreamSpec, change_events
-from nifi_nlp_processor_spark.operators.dedupe import (
+from nifi_nlp_processor_spark.operators.cdc_lww import (
     lww_dedupe,
     lww_dedupe_window,
     salted_lww_dedupe,

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
-from nifi_nlp_processor_spark.operators.dedup import (
+from nifi_nlp_processor_spark.operators.doc_dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from nifi_nlp_processor_spark.functions.dictionary import membership
 from nifi_nlp_processor_spark.lake import ParquetLakeTable
-from nifi_nlp_processor_spark.operators.dedupe import lww_dedupe, salted_lww_dedupe
+from nifi_nlp_processor_spark.operators.cdc_lww import lww_dedupe, salted_lww_dedupe
 from nifi_nlp_processor_spark.runner import CdcEngine
 
 

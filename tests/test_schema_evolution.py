@@ -74,7 +74,7 @@ def test_evolution_epoch_end_to_end(spark, tmp_path):
     assert cur.where(F.col("model").isNull()).count() > 0
     # widened values survive and updated text won LWW: every key whose
     # winning ev2 event is not a delete now shows the v9 text
-    from nifi_nlp_processor_spark.operators.dedupe import lww_dedupe
+    from nifi_nlp_processor_spark.operators.cdc_lww import lww_dedupe
 
     expect = lww_dedupe(ev2).where(F.col("op") != "D").count()
     assert cur.where(F.col("text").startswith("v9 ")).count() == expect
