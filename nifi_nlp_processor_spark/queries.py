@@ -151,11 +151,21 @@ def q_cdc_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory must outlive this call (the returned DataFrame is lazy)
     tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir))):x}"
     root = os.path.join(tempfile.gettempdir(), f"cdc_e2e_{tag}")
-    if os.path.exists(root):
-        shutil.rmtree(root)
+    for d in (root, root + "_in"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    # Stage the change stream once, partitioned by epoch — epoch_id is
+    # computed (lsn % 4), so filtering it per micro-batch cannot push down
+    # to the source parquet; without staging each of the 4 epochs pays two
+    # full scans (probe + merge) of the whole stream plus the transform
+    # chain. Staged, every per-epoch read partition-prunes to its own
+    # files — and it mirrors the real delivery, where a micro-batch
+    # arrives exactly once.
+    staged = root + "_in"
+    ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
     lake = ParquetLakeTable(spark, root, n_buckets=16)
     engine = CdcEngine(lake=lake)
-    engine.apply_epochs(ev)
+    engine.apply_epochs(spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3])
     return lake.read().select("conv_id", "turn_idx", "role", "text")
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -142,3 +143,27 @@ def stream_apply(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+@contextmanager
+def managed_stream(
+    engine: CdcEngine,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Managed teardown for the streaming query (L3 — the ``@OnStopped``
+    analogue, PontusProcessorBase.java:296-301 / writer close
+    PontusLuceneIndexWriterProcessor.java:139-143): the query is stopped on
+    scope exit even when the body raises, so no orphan micro-batch keeps
+    writing after the caller is gone. Safe with exactly-once: a batch
+    interrupted before its manifest rename never published, and re-running
+    it from the checkpoint is idempotent (the ledger skips committed
+    epochs).
+    """
+    q = stream_apply(engine, stream_df, checkpoint_dir, trigger_once=trigger_once)
+    try:
+        yield q
+    finally:
+        if q.isActive:
+            q.stop()

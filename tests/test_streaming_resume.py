@@ -9,6 +9,8 @@ checkpoint commit re-delivers a batch the lake has already applied.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from nifi_nlp_processor_spark.fixtures import ChangeStreamSpec, change_events
@@ -121,4 +123,39 @@ def test_batch_restart_mid_replay(spark, tmp_path):
     skipped = [r.epoch_id for r in results if r.merge.skipped]
     assert skipped == [0, 1]
     assert _lake_rows(second.lake) == _oracle(events)
+    events.unpersist()
+
+
+def test_managed_stream_stops_on_exit(spark, tmp_path):
+    """L3 teardown: the context manager stops the query on scope exit —
+    including when the body raises — and the applied state is still the
+    oracle state for whatever completed."""
+    from nifi_nlp_processor_spark.runner import managed_stream
+
+    events = change_events(spark, SPEC).cache()
+    src = str(tmp_path / "src")
+    _write_epochs(events, src, range(SPEC.n_epochs))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake = ParquetLakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    engine = CdcEngine(lake=lake)
+    with managed_stream(engine, stream, str(tmp_path / "ckpt")) as q:
+        q.awaitTermination(120)
+    assert not q.isActive
+    assert _lake_rows(lake) == _oracle(events)
+
+    # error path: query must not survive the raising scope
+    stream2 = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    lake2 = ParquetLakeTable(spark, str(tmp_path / "lake2"), n_buckets=8)
+    with pytest.raises(RuntimeError, match="boom"):
+        with managed_stream(CdcEngine(lake=lake2), stream2, str(tmp_path / "ckpt2")) as q2:
+            raise RuntimeError("boom")
+    assert not q2.isActive
     events.unpersist()
