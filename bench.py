@@ -55,7 +55,9 @@ def _force(df) -> int:
 
     row = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("_h"),
+        # bit_xor, not sum: summing full-range xxhash64 longs overflows
+        # under ANSI mode; xor still consumes every column of every row
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("_h"),
     ).collect()[0]
     return row["n"]
 

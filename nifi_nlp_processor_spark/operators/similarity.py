@@ -118,6 +118,66 @@ def lsh_bucket(df: DataFrame, planes: list[list[float]], vec_col: str = "embeddi
     return df.withColumn("bucket", sig.cast("int"))
 
 
+def embedding_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, score) with
+    id_a < id_b and cosine ≥ threshold, candidates from banded
+    random-hyperplane LSH.
+
+    The all-pairs form is O(n²) and impossible at corpus scale; banding
+    the sign-bit signature (n_bands bands of n_planes/n_bands bits, the
+    cosine analogue of MinHash-LSH banding in
+    ``doc_dedup.lsh_candidate_pairs``) shuffles the corpus n_bands times
+    on (band, bucket) and self-joins only within a bucket — expected
+    in-bucket size is n / 2^(planes/band). Two vectors that disagree on
+    every band are never compared (recall < 1 by design; more bands with
+    fewer bits each raise recall). Exact cosine then verifies every
+    candidate, so precision is 1 at the stated threshold.
+
+    All arithmetic is double precision with sequential folds and the
+    hyperplanes are deterministic literals, so the identical plan is
+    expressible in a SQL oracle. Pairs found by several bands are deduped
+    BEFORE scoring (one cosine per candidate pair).
+    """
+    per_band = n_planes // n_bands
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    bands = []
+    for b in range(n_bands):
+        sig = F.lit(0)
+        for i in range(per_band):
+            plane = planes[b * per_band + i]
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(_dot(F.col("_v"), lit_plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bands.append(F.struct(F.lit(b).alias("band"), sig.cast("int").alias("bucket")))
+    hashed = c.select("id", "_v", F.explode(F.array(*bands)).alias("_bb")).select(
+        "id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+    a = hashed.select("band", "bucket", F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+    b_ = hashed.select("band", "bucket", F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    cand = (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = with_cosine(cand, "_va", "_vb")
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round("score", round_digits))
+    return scored.where(F.col("score") >= threshold).select("id_a", "id_b", "score")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -52,7 +52,11 @@ from nifi_nlp_processor_spark.operators.doc_dedup import (
 )
 from nifi_nlp_processor_spark.operators.cdc_lww import lww_dedupe, salted_lww_dedupe
 from nifi_nlp_processor_spark.operators.quarantine import split_valid
-from nifi_nlp_processor_spark.operators.similarity import cosine_topk, lsh_topk
+from nifi_nlp_processor_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_pairs,
+    lsh_topk,
+)
 from nifi_nlp_processor_spark.runner import CdcEngine
 
 
@@ -688,6 +692,74 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
 
+def _embeddings_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The natural embedding corpus has no near-duplicates (max pairwise
+    cosine ≈ 0.51 at test scales — verified), so near-dup detection over it
+    would be vacuously correct. Plant deterministic near-dups: for each
+    vec_id < 15, a copy with the first component bumped by +0.4 (unit-norm
+    vectors ⇒ planted cosine ≈ 0.92–0.95, well above every natural pair
+    and below 1.0). Double-precision from the start so the DuckDB oracle
+    builds bit-identical vectors."""
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = base.where(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.4)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane-LSH
+    candidates + exact cosine verify (the cosine analogue of
+    dedup_minhash_lsh). Deterministic plane literals make the banding
+    itself oracle-expressible; threshold 0.9 isolates the planted pairs."""
+    corpus = _embeddings_with_near_dups(spark, sf_dir)
+    return embedding_near_pairs(corpus, threshold=0.9, n_planes=12, n_bands=3)
+
+
+def _embed_near_sql() -> str:
+    from nifi_nlp_processor_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=12, seed=42)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, pv) AS (VALUES {rows}),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, list_concat([v[1] + 0.4], v[2:]) AS v
+  FROM base WHERE vec_id < 15
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+bkt AS (
+  SELECT vec_id, CAST(pid // 4 AS INT) AS band,
+    CAST(sum(CASE WHEN list_dot_product(v, pv) > 0 THEN 1 << (pid % 4) ELSE 0 END) AS INT) AS bucket
+  FROM e, planes GROUP BY vec_id, pid // 4
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+s AS (
+  SELECT id_a, id_b,
+    round(
+      list_dot_product(ea.v, eb.v) /
+      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+      6) AS score
+  FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, score FROM s WHERE score >= 0.9
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries, codegen'd fold, stable
     rounded ranking. Double-precision sequential fold on both sides."""
@@ -951,6 +1023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embed_cosine": q_dedup_embed_cosine,
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id_pred": q_lang_id_pred,
@@ -979,6 +1052,7 @@ ORACLES: dict[str, str] = {
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,
     "ann_lsh_topk": _ann_lsh_sql(),
+    "dedup_embed_cosine": _embed_near_sql(),
     "text_quality": _QUALITY_SQL,
     "token_count_by_lang": _TOKEN_COUNT_SQL,
     "lang_id_pred": _LANG_ID_SQL,

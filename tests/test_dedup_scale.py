@@ -148,3 +148,34 @@ def test_jaccard_doc_freq_cap(spark):
     # 'common stop words' (and the two bridge shingles into each doc's
     # unique stream are per-doc-unique, so exactly one shingle is global)
     assert obs.get["dropped_shingles"] >= 1
+
+
+def test_embedding_near_pairs_recall_and_precision(spark):
+    """Banded-LSH cosine near-dup: candidates verified by exact cosine, so
+    precision is 1 at the threshold by construction; with 3 bands x 4 bits
+    the planted +0.4-bump pairs (cosine 0.92-0.94) are all recalled. The
+    result must equal brute force exactly here (recall 1.0 at this
+    banding), and contain nothing but the 15 planted pairs (natural max
+    pairwise cosine in this corpus is ~0.51)."""
+    from nifi_nlp_processor_spark.operators.similarity import (
+        embedding_near_pairs,
+        with_cosine,
+    )
+    from nifi_nlp_processor_spark.queries import _embeddings_with_near_dups
+
+    corpus = _embeddings_with_near_dups(spark, "/root/testdata/sf0.001")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs(corpus, threshold=0.9).collect()
+    }
+    assert got == {(i, i + 100000) for i in range(15)}
+
+    # brute-force cross-check (small corpus): every pair >= threshold is
+    # found by the banding, none below it survives the verify
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    brute = (
+        with_cosine(a.crossJoin(b).where(F.col("id_a") < F.col("id_b")), "_va", "_vb")
+        .where(F.round("score", 6) >= 0.9)
+    )
+    assert {(r.id_a, r.id_b) for r in brute.collect()} == got
