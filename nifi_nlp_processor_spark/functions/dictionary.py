@@ -130,6 +130,42 @@ def dictionary_from_raw(
     return vals.distinct()
 
 
+def dictionary_from_file(
+    spark, path: str, mode: str = "analyzed"
+) -> DataFrame:
+    """S4 — newline dictionary file scan (DictionaryJSONValidator.java:
+    40-57: one entry per line, read eagerly at validate time): one
+    ``value`` row per non-empty line, normalized per mode, distinct —
+    ready to broadcast into ``membership``. Unlike the raw-blob path
+    (``dictionary_from_raw``) the file reader has no shape dispatch: a
+    file IS the newline shape."""
+    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("value"))
+    lines = lines.where(F.col("value") != "")
+    if mode == "analyzed":
+        lines = lines.select(normalize_analyzed(F.col("value")).alias("value"))
+    return lines.distinct()
+
+
+def save_dictionary(dictionary: DataFrame, path: str) -> None:
+    """S8 — the persisted dictionary store (the Lucene on-disk index
+    analogue, one index per domain → one parquet partition per domain,
+    PontusLuceneIndexWriterProcessor.java:104-124 append mode). A
+    ``domain`` column is required; values are stored as built (run
+    ``normalize_analyzed`` upstream for TextField semantics)."""
+    dictionary.write.mode("append").partitionBy("domain").parquet(path)
+
+
+def load_dictionary(spark, path: str, domain: str | None = None) -> DataFrame:
+    """Read the persisted store back; with ``domain`` the read
+    partition-prunes to that domain's files only (the reader's one-index-
+    per-domain open, PontusLuceneIndexReaderProcessor.java:107-127).
+    Distinct on read gives the writer's append mode set semantics."""
+    df = spark.read.parquet(path)
+    if domain is not None:
+        df = df.where(F.col("domain") == domain)
+    return df.distinct()
+
+
 def percentage_match(
     probed: DataFrame,
     group_cols: list[str] = ["col_name"],

@@ -306,3 +306,37 @@ def test_full_match_anchored(spark):
         full_match(F.col("value"), "[0-9]{3}").alias("m")).collect()]
     # find-all would hit inside "a123b"; full match must not
     assert got == [True, False, False]
+
+
+def test_dictionary_from_file_and_persistence(spark, tmp_path):
+    """S4 file scan + S8 persisted dict store: newline file → dictionary;
+    append-mode writes accumulate per-domain partitions; a domain-filtered
+    load prunes to that domain and reads the union of appends as a set."""
+    from nifi_nlp_processor_spark.functions.dictionary import (
+        dictionary_from_file,
+        load_dictionary,
+        membership,
+        save_dictionary,
+    )
+
+    f = tmp_path / "names.txt"
+    f.write_text("José\n\n maria \nJOSÉ\n")
+    dic = dictionary_from_file(spark, str(f), mode="analyzed")
+    assert {r.value for r in dic.collect()} == {"jose", "maria"}
+
+    store = str(tmp_path / "dict_store")
+    save_dictionary(dic.withColumn("domain", F.lit("names")), store)
+    save_dictionary(
+        spark.createDataFrame([("london", "cities"), ("maria", "names")],
+                              "value string, domain string"),
+        store,
+    )
+    names = load_dictionary(spark, store, domain="names")
+    assert {r.value for r in names.collect()} == {"jose", "maria"}
+    assert {r.domain for r in load_dictionary(spark, store).collect()} == {"names", "cities"}
+
+    probed = membership(
+        spark.createDataFrame([("José",), ("pierre",)], "value string"),
+        names, mode="analyzed",
+    )
+    assert {(r.value, r.matched) for r in probed.collect()} == {("José", True), ("pierre", False)}
