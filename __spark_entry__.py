@@ -22,9 +22,11 @@ from nifi_nlp_processor_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: max-LSN LWW CDC final state over the sf0.001 change
-    stream (SURVEY §2.5 / §4.3)."""
-    return QUERIES["cdc_final_state"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the full CDC apply with the Arrow-batched enrichment
+    stage inside the hot path — quarantine → mapInPandas regex extraction →
+    max-LSN LWW → bucketed MERGE → final snapshot with entity columns
+    (SURVEY §4.3; the north star's headline composition)."""
+    return QUERIES["cdc_apply_enriched"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -185,6 +185,73 @@ SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_apply_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star flagship composition: the reference's per-record
+    regex enrichment (PontusNLPProcessor.java:331-492) as an Arrow-batched
+    mapInPandas stage INSIDE the CDC apply path — quarantine → enrich →
+    LWW → MERGE — with the enriched entity column landing in the lake and
+    surviving last-writer-wins. Deterministic emails are stitched into the
+    change stream's text so the extractor has matter to find; the oracle
+    recomputes the same extraction over each LWW winner's text (enrichment
+    is a pure per-row function, so enrich-then-merge ≡ merge-then-enrich)."""
+    from nifi_nlp_processor_spark.functions.extractors import extract_entities
+
+    ev = _corrupt(events_from_generic_table(spark, sf_dir))
+    ev = ev.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            (F.col("lsn") % 100).cast("string"),
+            F.lit("@example"),
+            (F.col("lsn") % 7).cast("string"),
+            F.lit(".com"),
+        ),
+    ).withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
+    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'enr'))):x}"
+    root = os.path.join(tempfile.gettempdir(), f"cdc_enr_{tag}")
+    for d in (root, root + "_in"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    staged = root + "_in"
+    ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(
+        lake=lake,
+        enrich=lambda df: extract_entities(df, {"email": _EMAIL_RE}),
+    )
+    engine.apply_epochs(spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3])
+    return lake.read().select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.array_join("pg_nlp_res_email", ",").alias("emails"),
+    )
+
+
+_APPLY_ENRICHED_SQL = """
+WITH changes AS ({changes}),
+cor AS ({corrupt}),
+app AS (
+  SELECT conv_id, turn_idx, lsn, op,
+    text || ' contact user' || CAST(lsn % 100 AS VARCHAR)
+         || '@example' || CAST(lsn % 7 AS VARCHAR) || '.com' AS text
+  FROM cor
+),
+valid AS (SELECT * FROM app WHERE NOT (op <> 'D' AND text IS NULL)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, turn_idx, text,
+  array_to_string(
+    list_sort(list_distinct(
+      regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', 0, 'i')
+    )), ',') AS emails
+FROM r WHERE rn = 1 AND op <> 'D'
+""".format(changes=EVENTS_AS_CHANGES_SQL, corrupt=_CORRUPT_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Enrichment / classification (reference operator parity, SURVEY §2.2/2.4)
 # ---------------------------------------------------------------------------
@@ -1009,6 +1076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_conv_rollup": q_cdc_conv_rollup,
     "cdc_quarantine_stats": q_cdc_quarantine_stats,
     "cdc_apply_e2e": q_cdc_apply_e2e,
+    "cdc_apply_enriched": q_cdc_apply_enriched,
     "extract_emails": q_extract_emails,
     "dict_membership_pct": q_dict_membership_pct,
     "dict_from_raw_pct": q_dict_from_raw_pct,
@@ -1038,6 +1106,7 @@ ORACLES: dict[str, str] = {
     "cdc_conv_rollup": _CONV_ROLLUP_SQL,
     "cdc_quarantine_stats": _QUARANTINE_SQL,
     "cdc_apply_e2e": _APPLY_E2E_SQL,
+    "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "extract_emails": _EXTRACT_EMAILS_SQL,
     "dict_membership_pct": _DICT_PCT_SQL,
     "dict_from_raw_pct": _DICT_PCT_SQL,
