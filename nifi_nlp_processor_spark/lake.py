@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 from dataclasses import dataclass, field
@@ -200,6 +201,65 @@ class ParquetLakeTable:
                 hist.append(json.load(fh))
         return hist
 
+    def commit_at(self, seq: int) -> dict:
+        """Manifest of snapshot ``seq`` (time travel anchor)."""
+        path = os.path.join(self.root, "_commits", f"commit-{seq:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot with seq {seq}")
+        with open(path) as fh:
+            return json.load(fh)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg expire_snapshots analogue: reclaim data of snapshots
+        older than the last ``keep_last``.
+
+        Deletes commit data directories (``data/cNNNNNNNN``) referenced by
+        NO retained manifest — a retained manifest may still point into an
+        old commit dir for buckets untouched since, and those survive.
+        Also removes dead orphan dirs from crashed writes (a dir whose seq
+        was later won by a published manifest); an orphan with seq beyond
+        the ledger head is kept — it may belong to an in-flight writer
+        that has not published yet.
+
+        Manifests themselves are NEVER deleted: they are the exactly-once
+        epoch ledger (``committed_epochs``) and the lineage/watermark
+        history, and they are tiny JSON. Time travel to a seq whose data
+        was expired raises at read time.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the head is never expired)")
+        commits = self.commit_history()
+        retained = commits[-keep_last:]
+        referenced = {
+            ptr["path"].split("/")[1]
+            for c in retained
+            for ptr in c["buckets"].values()
+        }
+        max_seq = commits[-1]["seq"] if commits else 0
+        data_root = os.path.join(self.root, "data")
+        removed: list[str] = []
+        reclaimed = 0
+        if os.path.exists(data_root):
+            for d in sorted(os.listdir(data_root)):
+                try:
+                    seq = int(d.lstrip("c"))
+                except ValueError:
+                    continue
+                if d in referenced or seq > max_seq:
+                    continue
+                p = os.path.join(data_root, d)
+                for dirpath, _dirs, files in os.walk(p):
+                    reclaimed += sum(
+                        os.path.getsize(os.path.join(dirpath, f)) for f in files
+                    )
+                shutil.rmtree(p)
+                removed.append(d)
+        return {
+            "removed_dirs": removed,
+            "bytes_reclaimed": reclaimed,
+            "retained_seqs": [c["seq"] for c in retained],
+        }
+
     def _publish(self, commit: dict) -> None:
         """Atomic commit point: tmp write + rename."""
         seq = commit["seq"]
@@ -227,10 +287,15 @@ class ParquetLakeTable:
 
     # ---- read -------------------------------------------------------
 
-    def read_raw(self) -> DataFrame:
-        """Current snapshot including meta columns and tombstones."""
-        c = self.last_commit()
-        schema = self.current_schema()
+    def read_raw(self, at_seq: int | None = None) -> DataFrame:
+        """Snapshot including meta columns and tombstones; ``at_seq`` time-
+        travels to an older manifest (valid while its data dirs survive
+        ``expire_snapshots``)."""
+        c = self.commit_at(at_seq) if at_seq is not None else self.last_commit()
+        schema = None
+        if c is not None:
+            with open(os.path.join(self.root, "_schema", c["schema"])) as fh:
+                schema = T.StructType.fromJson(json.load(fh))
         if c is None or not c["buckets"]:
             meta = T.StructType(
                 [
@@ -253,7 +318,13 @@ class ParquetLakeTable:
         # old files are read with their own schema then cast-aligned.
         by_schema: dict[str, list[str]] = {}
         for b, ptr in c["buckets"].items():
-            by_schema.setdefault(ptr["schema"], []).append(os.path.join(self.root, ptr["path"]))
+            p = os.path.join(self.root, ptr["path"])
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"snapshot {c['seq']} references expired data ({ptr['path']}); "
+                    "it was reclaimed by expire_snapshots"
+                )
+            by_schema.setdefault(ptr["schema"], []).append(p)
         for sname, paths in by_schema.items():
             with open(os.path.join(self.root, "_schema", sname)) as fh:
                 s = T.StructType.fromJson(json.load(fh))
@@ -267,10 +338,11 @@ class ParquetLakeTable:
             BUCKET_COL, F.pmod(F.xxhash64(self.bucket_key), F.lit(self.n_buckets)).cast("int")
         )
 
-    def read(self) -> DataFrame:
-        """Live rows (tombstones filtered, meta dropped)."""
+    def read(self, at_seq: int | None = None) -> DataFrame:
+        """Live rows (tombstones filtered, meta dropped); ``at_seq`` reads
+        an older snapshot (time travel)."""
         return (
-            self.read_raw()
+            self.read_raw(at_seq)
             .where(~F.col(META_DELETED))
             .drop(META_LSN, META_DELETED, BUCKET_COL)
         )
