@@ -88,6 +88,33 @@ class CdcEngine:
         self.results.append(res)
         return res
 
+    def reprocess_quarantine(
+        self,
+        fix: Callable[[DataFrame], DataFrame],
+        new_epoch_id: int,
+        from_epochs: list[int] | None = None,
+    ) -> EpochResult:
+        """Repair loop for the dead-letter queue: read quarantined rows
+        (optionally only those rejected in ``from_epochs``), run the
+        caller's ``fix`` transform, and push the result through the normal
+        apply path as a fresh epoch.
+
+        Semantics that fall out of the engine rather than special cases:
+        a repaired event applies with its ORIGINAL lsn, so one whose key
+        was meanwhile updated by a higher LSN correctly loses LWW; rows
+        the fix did not actually repair re-quarantine (the batch still
+        commits); re-running the same repair epoch is a structural no-op
+        (the ledger skips committed epochs). The DLQ itself is an
+        append-only log — reprocessed rows stay in it as history, keyed by
+        the ``_epoch_id`` that rejected them."""
+        if self.quarantine_dir is None:
+            raise ValueError("engine has no quarantine_dir")
+        bad = self.lake.spark.read.parquet(self.quarantine_dir)
+        if from_epochs is not None:
+            bad = bad.where(F.col("_epoch_id").isin([int(e) for e in from_epochs]))
+        fixed = fix(bad.drop("_reject_reason", "_epoch_id"))
+        return self.apply_epoch(fixed, new_epoch_id)
+
     def apply_epochs(
         self,
         events: DataFrame,

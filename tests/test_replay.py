@@ -127,3 +127,57 @@ def test_quarantine_routing(spark, tmp_path):
     assert n_good == events.count() - n_bad
     reasons = {r[0] for r in spark.read.parquet(dlq).select("_reject_reason").distinct().collect()}
     assert reasons == {"null_conv_id"}
+
+
+def test_quarantine_reprocess(spark, tmp_path):
+    """DLQ repair loop: null-text rows quarantine in epoch 0; a fix
+    restores their text and reapplies them as a new epoch. A repaired
+    event whose key was meanwhile superseded by a higher LSN loses LWW;
+    one still broken re-quarantines; replaying the repair epoch is a
+    no-op."""
+    import pyspark.sql.functions as F
+
+    ev = [
+        # (conv, turn, lsn, op, text, epoch)
+        ("a", 0, 1, "U", None, 0),        # quarantined (null text)
+        ("a", 1, 2, "U", None, 0),        # quarantined, later superseded
+        ("a", 1, 5, "U", "winner", 1),    # higher-LSN update in epoch 1
+        ("b", 0, 3, "U", "fine", 1),
+    ]
+    df = spark.createDataFrame(
+        [
+            {"conv_id": c, "turn_idx": t, "lsn": l, "op": o, "text": x,
+             "role": "user", "tool": None, "epoch_id": e}
+            for c, t, l, o, x, e in ev
+        ],
+        "conv_id string, turn_idx int, lsn long, op string, text string, "
+        "role string, tool string, epoch_id long",
+    )
+    lake = ParquetLakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    engine = CdcEngine(lake=lake, quarantine_dir=str(tmp_path / "dlq"))
+    engine.apply_epochs(df, epoch_ids=[0, 1])
+
+    state = {(r.conv_id, r.turn_idx): r.text for r in lake.read().collect()}
+    assert state == {("a", 1): "winner", ("b", 0): "fine"}
+
+    def fix(bad):
+        # repair only conv a turn 0; leave turn 1 broken (still null text)
+        return bad.withColumn(
+            "text",
+            F.when(F.col("turn_idx") == 0, F.lit("repaired")).otherwise(F.col("text")),
+        )
+
+    res = engine.reprocess_quarantine(fix, new_epoch_id=100, from_epochs=[0])
+    assert not res.merge.skipped
+    state = {(r.conv_id, r.turn_idx): r.text for r in lake.read().collect()}
+    # (a,0) repaired and applied; (a,1)'s repair candidate kept null text →
+    # re-quarantined, and the lsn-2 original could never beat lsn-5 anyway
+    assert state == {("a", 0): "repaired", ("a", 1): "winner", ("b", 0): "fine"}
+
+    # the still-broken row was re-quarantined under the repair epoch
+    dlq = spark.read.parquet(str(tmp_path / "dlq"))
+    assert dlq.where((F.col("_epoch_id") == 100) & (F.col("turn_idx") == 1)).count() == 1
+
+    # replaying the repair epoch is a structural no-op
+    res2 = engine.reprocess_quarantine(fix, new_epoch_id=100, from_epochs=[0])
+    assert res2.merge.skipped
