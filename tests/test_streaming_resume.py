@@ -159,3 +159,49 @@ def test_managed_stream_stops_on_exit(spark, tmp_path):
             raise RuntimeError("boom")
     assert not q2.isActive
     events.unpersist()
+
+
+def test_stream_resume_with_schema_evolution(spark, tmp_path):
+    """Schema evolution across a streaming restart: the stream runs with
+    schema A, stops; late files arrive carrying an added column; the query
+    resumes from the SAME checkpoint with the widened schema (file-source
+    checkpoints track file progress, not schema). The lake evolves — old
+    rows read NULL for the new column, new rows carry values."""
+    events = change_events(spark, SPEC).cache()
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    lake = ParquetLakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+
+    _write_epochs(events, src, [0, 1])
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_apply(CdcEngine(lake=lake), stream, ckpt)
+    q.awaitTermination(120)
+    assert "sentiment" not in [f.name for f in lake.current_schema().fields]
+
+    # late epochs gain a sentiment column (schema B ⊃ schema A)
+    late = events.where(F.col("epoch_id").isin([2, 3])).withColumn(
+        "sentiment", F.when(F.col("lsn") % 2 == 0, "pos").otherwise("neg")
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream2 = (
+        spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = stream_apply(CdcEngine(lake=lake), stream2, ckpt)
+    q2.awaitTermination(120)
+
+    assert "sentiment" in [f.name for f in lake.current_schema().fields]
+    rows = lake.read().collect()
+    assert _lake_rows(lake) == _oracle(events)  # state unaffected by the add
+    with_s = [r for r in rows if r.sentiment is not None]
+    without_s = [r for r in rows if r.sentiment is None]
+    # both populations exist: late-epoch winners carry values, keys last
+    # written in early epochs read NULL
+    assert with_s and without_s
+    events.unpersist()
