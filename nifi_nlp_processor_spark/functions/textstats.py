@@ -20,6 +20,20 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, " "))
 
 
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset so the
+# identical pattern runs on the JVM regex engine AND RE2 (DuckDB oracle):
+# contractions | space?-letter-run | space?-digit-run | space?-punct-run |
+# whitespace-run. Counts pre-tokens — the sequence BPE merges start from,
+# a stable proxy for LLM token budgeting without a vocab file.
+BPE_PRETOKEN_RE = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM token count via the BPE pre-tokenizer regex —
+    whole-stage-codegen'd ``regexp_count``, no UDF."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))
+
+
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
     toks = F.split(text, " ")
     stops = F.size(

@@ -185,6 +185,43 @@ SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_conflict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-conflict metrics cube (SURVEY §2.4: conflict counts per
+    partition-dimension, built-in ``rollup``): per (epoch, op) — plus the
+    rollup subtotal rows — how many change events arrived vs how many
+    distinct keys they touched; the difference is redundant deliveries the
+    LWW merge absorbs. One partial+final aggregation per grouping set."""
+    ev = events_from_generic_table(spark, sf_dir).withColumn(
+        "epoch_id", (F.col("lsn") % 4).cast("long")
+    )
+    return (
+        ev.rollup("epoch_id", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("conv_id", "turn_idx").alias("n_keys"),
+        )
+        .withColumn("n_redundant", F.col("n_events") - F.col("n_keys"))
+        # rollup subtotal rows carry NULL group keys; sentinel them so the
+        # result sorts/hashes cleanly in any comparison harness
+        .select(
+            F.coalesce(F.col("epoch_id"), F.lit(-1)).alias("epoch_id"),
+            F.coalesce(F.col("op"), F.lit("ALL")).alias("op"),
+            "n_events", "n_keys", "n_redundant",
+        )
+    )
+
+
+_CONFLICT_ROLLUP_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+e AS (SELECT *, lsn % 4 AS epoch_id FROM changes)
+SELECT coalesce(epoch_id, -1) AS epoch_id, coalesce(op, 'ALL') AS op,
+  count(*) AS n_events,
+  count(DISTINCT (conv_id, turn_idx)) AS n_keys,
+  count(*) - count(DISTINCT (conv_id, turn_idx)) AS n_redundant
+FROM e GROUP BY ROLLUP (epoch_id, op)
+"""
+
+
 def q_cdc_apply_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star flagship composition: the reference's per-record
     regex enrichment (PontusNLPProcessor.java:331-492) as an Arrow-batched
@@ -924,18 +961,32 @@ FROM m
 
 
 def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-pre-tokenizer tokens per language — the
+    LLM-budget counter runs the lookahead-free GPT-2-style regex on the
+    JVM (``regexp_count``) and identically on RE2 in the oracle."""
+    from nifi_nlp_processor_spark.functions.textstats import bpe_token_count
+
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.sum(bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
     )
 
 
-_TOKEN_COUNT_SQL = """
+def _token_count_sql() -> str:
+    from nifi_nlp_processor_spark.functions.textstats import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
 SELECT lang, count(*) AS n_docs,
-  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS total_bpe_tokens
 FROM documents GROUP BY lang
 """
+
+
+_TOKEN_COUNT_SQL = _token_count_sql()
 
 
 def q_lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,6 +1128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_quarantine_stats": q_cdc_quarantine_stats,
     "cdc_apply_e2e": q_cdc_apply_e2e,
     "cdc_apply_enriched": q_cdc_apply_enriched,
+    "cdc_conflict_rollup": q_cdc_conflict_rollup,
     "extract_emails": q_extract_emails,
     "dict_membership_pct": q_dict_membership_pct,
     "dict_from_raw_pct": q_dict_from_raw_pct,
@@ -1107,6 +1159,7 @@ ORACLES: dict[str, str] = {
     "cdc_quarantine_stats": _QUARANTINE_SQL,
     "cdc_apply_e2e": _APPLY_E2E_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
+    "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,
     "extract_emails": _EXTRACT_EMAILS_SQL,
     "dict_membership_pct": _DICT_PCT_SQL,
     "dict_from_raw_pct": _DICT_PCT_SQL,
