@@ -1038,6 +1038,69 @@ FROM m GROUP BY mime
 """
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING sessionization: the same gap rule as
+    ``sessionize_events`` but run as a Structured Streaming query with
+    per-user state in ``applyInPandasWithState`` (streaming/sessionize.py).
+    The stream emits CLOSED sessions only — each user's final session is
+    still open in state when the availableNow run drains — which is
+    exactly what the lag-window oracle reproduces by dropping each user's
+    last session. Single staged delivery here (deterministic); cross-batch
+    and cross-restart state flow is covered by
+    tests/test_streaming_sessionize.py."""
+    from nifi_nlp_processor_spark.streaming import sessionize_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'sess'))):x}"
+    base = os.path.join(tempfile.gettempdir(), f"cdc_sess_{tag}")
+    src, out, ckpt = base + "_src", base + "_out", base + "_ckpt"
+    for d in (src, out, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    ev.coalesce(4).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+_SESSIONIZE_STREAM_SQL = """
+WITH l AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+g AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+    CAST(count(*) AS INT) AS n_events
+  FROM g GROUP BY user_id, sid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rn FROM sess
+)
+SELECT user_id, session_start, session_end, n_events FROM r WHERE rn > 1
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session counting via lag window (gap > 30 min) — the event-time
     sessionization primitive of the streaming layer, batch-checkable."""
@@ -1149,6 +1212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_pred": q_lang_id_pred,
     "multimodal_summary": q_multimodal_summary,
     "sessionize_events": q_sessionize_events,
+    "sessionize_stream": q_sessionize_stream,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
 }
@@ -1180,6 +1244,7 @@ ORACLES: dict[str, str] = {
     "lang_id_pred": _LANG_ID_SQL,
     "multimodal_summary": _MULTIMODAL_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
+    "sessionize_stream": _SESSIONIZE_STREAM_SQL,
     "pricing_summary": _PRICING_SQL,
     "segment_revenue": _SEGMENT_SQL,
 }
