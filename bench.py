@@ -66,6 +66,9 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     from nifi_nlp_processor_spark.session import build_session
     from nifi_nlp_processor_spark.queries import QUERIES
 
+    # scratch lakes/checkpoints of the CDC queries follow spark.local.dir
+    # onto tmpfs (see queries._scratch_dir)
+    os.environ.setdefault("SPARK_GRAFT_SCRATCH", "/dev/shm/spark-scratch")
     spark = build_session(
         app_name="bench",
         cores=cores,

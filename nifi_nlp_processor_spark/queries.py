@@ -64,6 +64,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir() -> str:
+    """Root for the CDC queries' scratch lakes/checkpoints. Defaults to the
+    system temp dir; the bench points it at tmpfs via SPARK_GRAFT_SCRATCH —
+    the sandbox stand-in for executor-local NVMe, matching bench.py's
+    spark.local.dir choice — so query timings measure the engine, not the
+    virtio root disk."""
+    d = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # CDC core (change stream derived deterministically from `events`)
 # ---------------------------------------------------------------------------
@@ -154,7 +165,7 @@ def q_cdc_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated bench/correctness runs never accumulate /tmp garbage; the
     # directory must outlive this call (the returned DataFrame is lazy)
     tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir))):x}"
-    root = os.path.join(tempfile.gettempdir(), f"cdc_e2e_{tag}")
+    root = os.path.join(_scratch_dir(), f"cdc_e2e_{tag}")
     for d in (root, root + "_in"):
         if os.path.exists(d):
             shutil.rmtree(d)
@@ -246,7 +257,7 @@ def q_cdc_apply_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
     tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'enr'))):x}"
-    root = os.path.join(tempfile.gettempdir(), f"cdc_enr_{tag}")
+    root = os.path.join(_scratch_dir(), f"cdc_enr_{tag}")
     for d in (root, root + "_in"):
         if os.path.exists(d):
             shutil.rmtree(d)
@@ -1054,7 +1065,7 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
     tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'sess'))):x}"
-    base = os.path.join(tempfile.gettempdir(), f"cdc_sess_{tag}")
+    base = os.path.join(_scratch_dir(), f"cdc_sess_{tag}")
     src, out, ckpt = base + "_src", base + "_out", base + "_ckpt"
     for d in (src, out, ckpt):
         if os.path.exists(d):
