@@ -12,10 +12,11 @@ hot path: quarantine → LWW dedupe → bucketed MERGE with atomic epoch
 commits) at ``local[N]`` and print events/sec. Used in a subprocess per
 parallelism level (each needs its own JVM/master).
 
-``--scaling`` — the north-rule gate: the identical CDC apply job at
-``local[8]`` and ``local[32]`` (N and 4N cores) on the same input;
-reports throughput at both plus efficiency = T(4N) / (4 × T(N)) into
-``BENCH/BASELINE.md``.
+``--scaling`` — the north-rule gate: the identical CDC apply job at two
+CPU-pinned parallelism levels (default N=2 vs 4N=8) on the same staged
+input, interleaved best-of-K trials with busy-loop calibration; reports
+throughput at both plus efficiency = T(4N) / (4 × T(N)) into
+``BENCH/BASELINE.md`` (see run_scaling for the full methodology).
 
 Run via ``spark-submit --py-files nifi_nlp_processor_spark.zip bench.py``
 on a real cluster, or plain ``python bench.py`` locally (it builds its own
