@@ -22,10 +22,11 @@ from nifi_nlp_processor_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the full CDC apply with the Arrow-batched enrichment
-    stage inside the hot path — quarantine → mapInPandas regex extraction →
-    max-LSN LWW → bucketed MERGE → final snapshot with entity columns
-    (SURVEY §4.3; the north star's headline composition)."""
+    """Flagship query: the full CDC apply with the enrichment stage inside
+    the hot path — quarantine → whole-stage-codegen regex extraction (pure
+    Column; the Arrow/pandas parity path stays available for Python-only
+    dialects) → max-LSN LWW → bucketed MERGE → final snapshot with entity
+    columns (SURVEY §4.3; the north star's headline composition)."""
     return QUERIES["cdc_apply_enriched"](spark, "/root/testdata/sf0.001")
 
 

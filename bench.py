@@ -105,6 +105,10 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         "sf": sf,
         "rows": rows,
         "cores": cores,
+        # inline hardware context for this very window (VERDICT r2 #8):
+        # how much compute the throttled VM granted while these timings
+        # were taken — read absolute seconds against this, not in a vacuum
+        "calibration": cpu_calibration_pair(8, 32, work=2_000_000),
     }
 
 
@@ -305,8 +309,40 @@ def run_scaling(
         "calibrations": calibrations,
         "detail": results,
     }
+    _append_scaling_history(report)
     _write_scaling_md(report)
     return report
+
+
+def _history_path() -> str:
+    return os.path.join(_REPO, "BENCH", "scaling_history.jsonl")
+
+
+def _append_scaling_history(r: dict) -> None:
+    """Every scaling run is appended to a JSONL ledger so BASELINE.md can
+    show the round-over-round curve (including different N→kN spans), not
+    just the latest sample."""
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    row = {
+        "N_cores": r["N_cores"],
+        "4N_cores": r["4N_cores"],
+        "events": r["events"],
+        "events_per_sec_N": r["events_per_sec_N"],
+        "events_per_sec_4N": r["events_per_sec_4N"],
+        "scaling_efficiency": r["scaling_efficiency"],
+        "hardware_efficiency": r["hardware_efficiency"],
+        "normalized_efficiency": r["normalized_efficiency"],
+    }
+    with open(_history_path(), "a") as fh:
+        fh.write(json.dumps(row) + "\n")
+
+
+def _read_scaling_history() -> list[dict]:
+    try:
+        with open(_history_path()) as fh:
+            return [json.loads(l) for l in fh if l.strip()]
+    except FileNotFoundError:
+        return []
 
 
 def _burn(n: int) -> int:
@@ -390,9 +426,10 @@ def _write_scaling_md(r: dict) -> None:
         for c in (n, hi):
             d = r["detail"][c]
             fh.write(f"| local[{c}], pinned {c} CPUs | {d['events']} | {d['wall_sec']} | {d['events_per_sec']} |\n")
+        k = hi // n
         fh.write(
-            f"\n**Scaling efficiency** = T(4N) / (4 × T(N)) = "
-            f"{r['events_per_sec_4N']} / (4 × {r['events_per_sec_N']}) = "
+            f"\n**Scaling efficiency** = T({k}N) / ({k} × T(N)) = "
+            f"{r['events_per_sec_4N']} / ({k} × {r['events_per_sec_N']}) = "
             f"**{r['scaling_efficiency']}** (gate ≥ 0.8 → "
             f"{'PASS' if r['pass'] else 'FAIL'})\n\n"
             f"**Hardware ceiling in the same window** (perfectly parallel "
@@ -407,6 +444,20 @@ def _write_scaling_md(r: dict) -> None:
         fh.write(f"| window | {n} CPUs | {hi} CPUs | hw eff |\n|---|---|---|---|\n")
         for i, c in enumerate(r["calibrations"]):
             fh.write(f"| {i} | {c['lo_rate']} | {c['hi_rate']} | {c['hw_eff']} |\n")
+        hist = _read_scaling_history()
+        if hist:
+            fh.write(
+                "\n## Run history (all `--scaling` runs, appended per round)\n\n"
+                "| run | span | events | ev/s @N | ev/s @kN | raw eff | hw eff | normalized |\n"
+                "|---|---|---|---|---|---|---|---|\n"
+            )
+            for i, h in enumerate(hist):
+                fh.write(
+                    f"| {i} | {h['N_cores']}→{h['4N_cores']} | {h['events']} | "
+                    f"{h['events_per_sec_N']} | {h['events_per_sec_4N']} | "
+                    f"{h['scaling_efficiency']} | {h['hardware_efficiency']} | "
+                    f"{h['normalized_efficiency']} |\n"
+                )
         fh.write(
             "\nInput: deterministic synthetic transcript change stream "
             "(`fixtures.change_events`, input-hint schema), staged once and "
@@ -427,6 +478,10 @@ def main() -> None:
                     help="synthetic-stream size for throughput mode (0 = use sf events table)")
     ap.add_argument("--input-dir", default=None,
                     help="staging dir shared across parallelism levels")
+    ap.add_argument("--scaling-n", type=int, default=2,
+                    help="N for the scaling run (low parallelism level)")
+    ap.add_argument("--scaling-multiple", type=int, default=4,
+                    help="k for the N→kN scaling span (8 gives the 2→16 curve point)")
     args = ap.parse_args()
 
     if args.cdc_throughput:
@@ -435,7 +490,9 @@ def main() -> None:
             n_conversations=args.conversations, input_dir=args.input_dir,
         )))
     elif args.scaling:
-        print(json.dumps(run_scaling(args.sf_dir), indent=2))
+        print(json.dumps(run_scaling(
+            args.sf_dir, n_cores=args.scaling_n, multiple=args.scaling_multiple,
+        ), indent=2))
     else:
         print(json.dumps(run_queries(args.sf_dir, args.cores)))
 

@@ -30,11 +30,107 @@ from pyspark.sql import functions as F
 _ACCENTS_IN = "áàâãäéèêëíìîïóòôõöúùûüçñýÿ"
 _ACCENTS_OUT = "aaaaaeeeeiiiiooooouuuucnyy"
 
+# Portuguese plural-reduction suffix rules (post accent-fold, so ões→oes),
+# applied first-match-only — a documented approximation of the
+# BrazilianAnalyzer's stemmer (PontusLuceneIndexWriterProcessor.java:73
+# uses BrazilianAnalyzer, whose BrazilianStemmer starts with exactly this
+# plural step). Full RSLP also strips diminutive/augmentative/verb
+# suffixes; for dictionary membership the plural step is what moves
+# percentages on name/place fixtures.
+_PT_PLURAL_RULES: list[tuple[str, str]] = [
+    ("oes$", "ao"),   # camaroes → camarao
+    ("aes$", "ao"),   # capitaes → capitao
+    ("ais$", "al"),   # animais → animal
+    ("eis$", "el"),   # papeis → papel
+    ("ois$", "ol"),   # lencois → lencol
+    ("ns$", "m"),     # jardins → jardim
+    ("les$", "l"),    # males → mal
+    ("res$", "r"),    # flores → flor
+    ("([aeiou])s$", "$1"),  # casas → casa (plain plural; $1 = JVM backref)
+]
 
-def normalize_analyzed(col: Column) -> Column:
+
+def normalize_analyzed(col: Column, stem_pt: bool = False) -> Column:
     """'analyzed' (TextField) normalization: lowercase + accent fold +
-    trim. Exact mode (StringField) stores the value verbatim."""
-    return F.translate(F.lower(F.trim(col)), _ACCENTS_IN, _ACCENTS_OUT)
+    trim. Exact mode (StringField) stores the value verbatim.
+
+    ``stem_pt=True`` additionally applies the Portuguese plural-reduction
+    rules above (mode 'analyzed_pt') — the BrazilianAnalyzer-shaped
+    normalization of the reference's Lucene store, as ordered
+    first-match-only ``regexp_replace`` Column expressions (stays in
+    codegen; no UDF)."""
+    out = F.translate(F.lower(F.trim(col)), _ACCENTS_IN, _ACCENTS_OUT)
+    if stem_pt:
+        # a chained WHEN applies the FIRST matching rule only (later rules
+        # must not re-fire on an already-reduced token)
+        stemmed = None
+        for pat, rep in _PT_PLURAL_RULES:
+            cond = out.rlike(pat)
+            applied = F.regexp_replace(out, pat, rep)
+            stemmed = (
+                F.when(cond, applied) if stemmed is None else stemmed.when(cond, applied)
+            )
+        out = stemmed.otherwise(out)
+    return out
+
+
+def _key_fn(mode: str):
+    """Normalization key per dictionary mode: 'exact' (StringField,
+    verbatim), 'analyzed' (TextField: lower/accent-fold/trim),
+    'analyzed_pt' (analyzed + Portuguese plural reduction — the
+    BrazilianAnalyzer approximation)."""
+    if mode == "exact":
+        return lambda c: c
+    if mode == "analyzed":
+        return normalize_analyzed
+    if mode == "analyzed_pt":
+        return lambda c: normalize_analyzed(c, stem_pt=True)
+    raise ValueError(f"unknown dictionary mode {mode!r}")
+
+
+def parse_query_format(fmt: str) -> str:
+    """P5 — the Lucene query-format contract the reference's users
+    actually configure (PontusProcessorBase.java:109-131): a Java
+    ``String.format`` template that must contain EXACTLY one ``%s`` and
+    must survive formatting (the validator checks
+    ``String.format(input, "FOOO").contains("FOOO")``). ``%s`` queries the
+    candidate as-is (exact membership); a template carrying ``~`` (the
+    documented ``~%s`` form) is a Lucene-style similarity match → fuzzy
+    membership. Returns 'exact' or 'fuzzy'; raises ``ValueError`` on an
+    invalid template — eagerly, at config time, like the reference
+    validator."""
+    if fmt.count("%s") != 1:
+        raise ValueError(
+            f"the format {fmt!r} must contain one and only one %s element inside."
+        )
+    try:
+        formatted = fmt % "FOOO"
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"the format {fmt!r} does not format cleanly: {e}") from e
+    if "FOOO" not in formatted:
+        raise ValueError(
+            f"the format {fmt!r} must contain one and only one %s element inside."
+        )
+    return "fuzzy" if "~" in fmt else "exact"
+
+
+def membership_with_format(
+    candidates: DataFrame,
+    dictionary: DataFrame,
+    query_format: str = "%s",
+    **kwargs,
+) -> DataFrame:
+    """``membership`` driven by the reference's query-format property:
+    ``"%s"`` routes to exact/analyzed membership, ``"~%s"`` to the fuzzy
+    (edit-distance) probe — the dispatch the reference performs by
+    templating the Lucene query string
+    (PontusDiscoveryDBClassifierProcessor.java:173 ``String.format``)."""
+    return membership(
+        candidates,
+        dictionary,
+        fuzzy=parse_query_format(query_format) == "fuzzy",
+        **kwargs,
+    )
 
 
 def membership(
@@ -56,9 +152,11 @@ def membership(
     fuzzy=True mirrors the reader's ``~%s`` Lucene fuzzy query format
     (PontusProcessorBase.java:109-131): edit distance ≤ max_edits. This is
     a broadcast theta-join (levenshtein), cost |candidates|×|dict| — only
-    for small dictionaries, as in the reference.
+    for small dictionaries, as in the reference. Callers holding the raw
+    format string use ``membership_with_format``, which validates and
+    dispatches it.
     """
-    key = normalize_analyzed if mode == "analyzed" else (lambda c: c)
+    key = _key_fn(mode)
     dic = dictionary.select(key(F.col(dict_value_col)).alias("_dict_key")).distinct()
     if not fuzzy:
         cand_key = key(F.col(candidate_col))
@@ -125,8 +223,8 @@ def dictionary_from_raw(
     vals = raw.select(
         F.explode(parse_raw_dictionary(F.col(input_col))).alias("value")
     )
-    if mode == "analyzed":
-        vals = vals.select(normalize_analyzed(F.col("value")).alias("value"))
+    if mode != "exact":
+        vals = vals.select(_key_fn(mode)(F.col("value")).alias("value"))
     return vals.distinct()
 
 
@@ -141,8 +239,8 @@ def dictionary_from_file(
     file IS the newline shape."""
     lines = spark.read.text(path).select(F.trim(F.col("value")).alias("value"))
     lines = lines.where(F.col("value") != "")
-    if mode == "analyzed":
-        lines = lines.select(normalize_analyzed(F.col("value")).alias("value"))
+    if mode != "exact":
+        lines = lines.select(_key_fn(mode)(F.col("value")).alias("value"))
     return lines.distinct()
 
 
@@ -214,7 +312,7 @@ def classify_columns_multi(
     scale the sample-stream scan dominates, so cost is ~1/n_domains of the
     chained form. Semantics identical to unioning ``classify_columns``
     passes (same oracle; zero-frequency probes retained)."""
-    key = normalize_analyzed if mode == "analyzed" else (lambda c: c)
+    key = _key_fn(mode)
     dic = dictionaries.select(
         "domain", key(F.col("value")).alias("_dict_key")
     ).distinct()

@@ -24,9 +24,10 @@ operators supply it Spark-first, all as declarative DataFrame plans
                           the join output is bounded by co-occurrence, not
                           |docs|².  Used standalone at small scale and as the
                           verifier behind LSH candidates at large scale.
-``simhash``             — 32-bit SimHash fingerprint per doc, computed with
-                          bit-parallel integer aggregation (sum of masked
-                          hash bits), zero UDFs.
+``simhash``             — SimHash fingerprint per doc (64-bit xxhash64
+                          scale flavor; 32-bit md5_32 for oracle parity),
+                          computed with bit-parallel integer aggregation
+                          (sum of masked hash bits), zero UDFs.
 ``simhash_near_pairs``  — near-dup pairs by Hamming distance over same-band
                           SimHash buckets.
 """
@@ -133,11 +134,24 @@ def lsh_candidate_pairs(
     buckets switch to STAR expansion — every member pairs with the
     bucket's minimum id only (b-1 pairs, computed by an aggregate + join,
     no driver-side or single-task array of the bucket). Nothing is
-    dropped: every member still appears in ≥1 candidate pair, and the
-    full cluster is recoverable downstream by transitive closure
-    (union-find over pairs), which is how near-dup clusters are consumed
-    anyway. Output is linear in bucket size instead of quadratic, so one
-    hot bucket cannot OOM an executor or emit 10^11 rows."""
+    dropped *at candidate time*: every member still appears in ≥1
+    candidate pair, and the full cluster is recoverable downstream by
+    transitive closure (union-find over pairs), which is how near-dup
+    clusters are consumed anyway. Output is linear in bucket size instead
+    of quadratic, so one hot bucket cannot OOM an executor or emit 10^11
+    rows.
+
+    Recall caveat AFTER exact verification: star pairs all route through
+    the hub (min id), so in a *heterogeneous* mega-bucket two members that
+    are near-dups of each other but both dissimilar to the hub lose their
+    only candidate link once the verifier rejects the hub pairs. This is
+    the deliberate trade: a bucket only exceeds ``max_bucket`` when ≥
+    ``max_bucket`` docs agree on a whole MinHash band, which at sane band
+    widths means a near-identical cluster, not a grab-bag — and the
+    alternative (full expansion) is the n² blowup this guard exists to
+    prevent. Callers needing extra recall inside mega-buckets can lower
+    ``max_bucket`` risk by raising bands/hashes, or run a second LSH pass
+    over the mega-bucket members only."""
     hcols = [c for c in signatures.columns if c != id_col]
     per_band = len(hcols) // bands
     assert per_band >= 1, "more bands than hashes"
@@ -183,6 +197,30 @@ def lsh_candidate_pairs(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+def df_capped_shingles(
+    doc_shingles: DataFrame,
+    max_doc_freq: int,
+    df_observation=None,
+) -> DataFrame:
+    """The 100 TB stop-shingle guard, standalone: drop shingles whose
+    document frequency exceeds ``max_doc_freq`` (web boilerplate — headers,
+    licenses, navigation — lands in every crawl document and would
+    contribute df² rows to any inverted-index join and drag every MinHash
+    bucket together). Run it ONCE, up front, and feed the capped set to
+    both the signature and the verify stages; ``jaccard_pairs`` also
+    accepts ``max_doc_freq`` directly for standalone use. Pass an
+    ``Observation`` to record the number of dropped shingles
+    (``dropped_shingles``) — capping is never silent."""
+    freq = doc_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if df_observation is not None:
+        freq = freq.observe(
+            df_observation,
+            F.sum((F.col("_df") > max_doc_freq).cast("long")).alias("dropped_shingles"),
+        )
+    kept = freq.where(F.col("_df") <= max_doc_freq).select("shingle")
+    return doc_shingles.join(kept, "shingle", "left_semi")
+
+
 def jaccard_pairs(
     doc_shingles: DataFrame,
     min_jaccard: float = 0.5,
@@ -195,9 +233,16 @@ def jaccard_pairs(
     (a_id, b_id, jaccard). Inverted-index self-join on the shingle — the
     physical plan is: shuffle both sides on `shingle` (sort-merge or, after
     AQE stats, broadcast), count co-occurrences per pair, then join two
-    tiny size relations. With ``candidates`` (e.g. LSH output) the
-    co-occurrence join is semi-filtered first, so the exact pass verifies
-    only candidate pairs.
+    tiny size relations. With ``candidates`` (e.g. LSH output) the shingle
+    relation is first semi-joined down to the doc ids that appear in any
+    candidate pair — BELOW the inverted-index self-join — so the
+    co-occurrence work is O(|candidate docs|' shingles), not O(Σ df²) over
+    the whole corpus; a second semi-join above the aggregate then drops
+    coincidental non-candidate pairs among candidate docs. (Restricting
+    the ids does not change any surviving pair's jaccard: a doc's own
+    shingle set and size are id-local.) This ordering is what makes LSH
+    actually pay off at 100 TB — the exact pass never scores, or even
+    shuffles, shingles of non-candidate documents.
 
     ``max_doc_freq``: the 100 TB guard. A stop-shingle shared by n docs
     contributes n² rows to the self-join — one shingle appearing in 1M
@@ -210,14 +255,17 @@ def jaccard_pairs(
     record how many distinct shingles the cap dropped
     (``dropped_shingles`` metric) — capping is never silent."""
     if max_doc_freq is not None:
-        freq = doc_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        if df_observation is not None:
-            freq = freq.observe(
-                df_observation,
-                F.sum((F.col("_df") > max_doc_freq).cast("long")).alias("dropped_shingles"),
-            )
-        kept = freq.where(F.col("_df") <= max_doc_freq).select("shingle")
-        doc_shingles = doc_shingles.join(kept, "shingle", "left_semi")
+        doc_shingles = df_capped_shingles(doc_shingles, max_doc_freq, df_observation)
+    if candidates is not None:
+        # restrict to candidate doc ids BEFORE the self-join (the DF cap
+        # above stays corpus-global: stop-shingles are a property of the
+        # whole corpus, not of the candidate subset)
+        cand_ids = (
+            candidates.select(F.col("a_id").alias(id_col))
+            .unionByName(candidates.select(F.col("b_id").alias(id_col)))
+            .distinct()
+        )
+        doc_shingles = doc_shingles.join(cand_ids, id_col, "left_semi")
     sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = doc_shingles.select(F.col(id_col).alias("a_id"), "shingle")
     b = doc_shingles.select(F.col(id_col).alias("b_id"), "shingle")
@@ -247,22 +295,34 @@ def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int | None = None,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """32-bit SimHash per doc: (id, simhash). Token-hash bit votes are
-    summed bit-parallel: explode tokens → hash → per bit b an integer
+    """SimHash fingerprint per doc: (id, simhash). Token-hash bit votes
+    are summed bit-parallel: explode tokens → hash → per bit b an integer
     aggregate sum(±1 by bit b) → sign → fingerprint. All codegen'd integer
     expressions; the single shuffle is the groupBy(id) with map-side
     partial aggregation.
 
-    ``hash_fn``: 'xxhash64' stays fully in codegen (scale path); 'md5_32'
-    takes the first 8 hex digits of md5 as an unsigned 32-bit int —
-    engine-portable (DuckDB: ``CAST('0x'||substr(md5(w),1,8) AS BIGINT)``),
-    used for oracle parity."""
+    ``hash_fn``: 'xxhash64' stays fully in codegen and is **64-bit by
+    default** — the scale flavor. 32 bits is too narrow for a web-scale
+    corpus: at ≳10^5 docs, random 32-bit fingerprints within Hamming ≤ 3
+    collide constantly (birthday pressure on 2^32) and 8-bit band slices
+    give only 256 buckets per band. 'md5_32' takes the first 8 hex digits
+    of md5 as an unsigned 32-bit int — engine-portable (DuckDB:
+    ``CAST('0x'||substr(md5(w),1,8) AS BIGINT)``), kept ONLY for oracle
+    parity at test scale.
+
+    ``bits`` defaults per flavor (64 for xxhash64, 32 for md5_32); the
+    fingerprint is assembled with ``bitwiseOR`` of single-bit terms, so
+    bit 63 (the sign bit of LongType) is safe under ANSI arithmetic."""
+    if bits is None:
+        bits = 64 if hash_fn == "xxhash64" else 32
     if hash_fn == "xxhash64":
         h = F.xxhash64("w")
     elif hash_fn == "md5_32":
+        if bits > 32:
+            raise ValueError("md5_32 provides only 32 hash bits")
         h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -270,22 +330,25 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).select(F.col(id_col), h.alias("h"))
+    one = F.lit(1).cast("long")
     votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    fp = None
+    fp = F.lit(0).cast("long")
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def _popcount32(col):
-    """Hamming weight of a 32-bit value via SWAR expressions (no UDF)."""
+    """Hamming weight of a value's low 32 bits via SWAR expressions (no
+    UDF). Operands stay well inside 56 bits, so the multiply is safe under
+    ANSI long arithmetic."""
     x = col.bitwiseAND(F.lit(0xFFFFFFFF))
     x = x - F.shiftright(x, 1).bitwiseAND(F.lit(0x55555555))
     x = x.bitwiseAND(F.lit(0x33333333)) + F.shiftright(x, 2).bitwiseAND(F.lit(0x33333333))
@@ -293,19 +356,34 @@ def _popcount32(col):
     return F.shiftright(x * F.lit(0x01010101), 24).bitwiseAND(F.lit(0xFF))
 
 
+def _popcount64(col):
+    """64-bit Hamming weight as the sum of the two 32-bit halves — avoids
+    the classic 64-bit SWAR multiply, which wraps (and under ANSI mode
+    would throw) on LongType."""
+    return _popcount32(col) + _popcount32(F.shiftrightunsigned(col, 32))
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     bands: int = 4,
+    bits: int = 32,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split the 32-bit fingerprint into ``bands`` slices;
-    any pair within distance < bands agrees exactly on ≥1 slice, so the
-    candidate join shuffles on (band, slice_value) only. Exact Hamming is
-    then verified with a SWAR popcount expression."""
-    width = 32 // bands
+    Pigeonhole banding: split the ``bits``-wide fingerprint into ``bands``
+    slices; any pair within distance < bands agrees exactly on ≥1 slice,
+    so the candidate join shuffles on (band, slice_value) only. Exact
+    Hamming is then verified with a SWAR popcount expression.
+
+    At corpus scale use ``bits=64`` (the xxhash64 simhash flavor): 4×16-bit
+    slices give 65,536 buckets per band where 4×8-bit slices give only 256
+    — the candidate join is O(n²/2^16) instead of O(n²/2^8), and the wider
+    fingerprint keeps false candidates (random pairs within Hamming ≤ 3)
+    negligible at ≳10^5 docs. The 32-bit default exists for the md5_32
+    oracle-parity flavor only."""
+    width = bits // bands
     mask = (1 << width) - 1
     banded = None
     for b in range(bands):
@@ -313,7 +391,9 @@ def simhash_near_pairs(
             F.col(id_col),
             F.col("simhash"),
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("slice"),
         )
         banded = part if banded is None else banded.unionByName(part)
     a = banded.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("sh_a"), "band", "slice")
@@ -324,7 +404,8 @@ def simhash_near_pairs(
         .select("a_id", "b_id", "sh_a", "sh_b")
         .distinct()
     )
-    ham = _popcount32(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    pop = _popcount64 if bits > 32 else _popcount32
+    ham = pop(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)

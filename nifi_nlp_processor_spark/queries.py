@@ -18,6 +18,8 @@ across engines (see the per-query notes).
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
 import shutil
 import tempfile
@@ -42,6 +44,7 @@ from nifi_nlp_processor_spark.functions.extractors import extract_entities_sql
 from nifi_nlp_processor_spark.functions.textstats import lang_id, quality_stats
 from nifi_nlp_processor_spark.lake import ParquetLakeTable
 from nifi_nlp_processor_spark.operators.doc_dedup import (
+    df_capped_shingles,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -73,6 +76,25 @@ def _scratch_dir() -> str:
     d = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _scratch_root(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Deterministic per-(session, sf) scratch root for one query ``kind``.
+
+    The tag is a stable md5 digest — NOT Python ``hash()``, which is salted
+    per process (PYTHONHASHSEED), so the old wipe-on-re-entry only worked
+    within one driver process and repeated runs accumulated lakes under
+    SPARK_GRAFT_SCRATCH (tmpfs in the bench) until it filled. Every entry
+    also sweeps ALL of this kind's sibling dirs (prior driver processes,
+    plus this run's own previous dirs and their ``_in``/``_src`` suffixes),
+    so scratch stays bounded no matter how many sessions ran before."""
+    base = _scratch_dir()
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    for p in glob.glob(os.path.join(base, f"{kind}_*")):
+        shutil.rmtree(p, ignore_errors=True)
+    return os.path.join(base, f"{kind}_{tag}")
 
 
 # ---------------------------------------------------------------------------
@@ -161,14 +183,10 @@ def q_cdc_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-epoch merge compose to the reference semantics."""
     ev = _corrupt(events_from_generic_table(spark, sf_dir))
     ev = ev.withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
-    # deterministic per-(session, sf) lake root, wiped on re-entry so
-    # repeated bench/correctness runs never accumulate /tmp garbage; the
+    # deterministic per-(session, sf) lake root, swept on re-entry so
+    # repeated bench/correctness runs never accumulate scratch garbage; the
     # directory must outlive this call (the returned DataFrame is lazy)
-    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir))):x}"
-    root = os.path.join(_scratch_dir(), f"cdc_e2e_{tag}")
-    for d in (root, root + "_in"):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    root = _scratch_root(spark, sf_dir, "cdc_e2e")
     # Stage the change stream once, partitioned by epoch — epoch_id is
     # computed (lsn % 4), so filtering it per micro-batch cannot push down
     # to the source parquet; without staging each of the 4 epochs pays two
@@ -241,8 +259,12 @@ def q_cdc_apply_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving last-writer-wins. Deterministic emails are stitched into the
     change stream's text so the extractor has matter to find; the oracle
     recomputes the same extraction over each LWW winner's text (enrichment
-    is a pure per-row function, so enrich-then-merge ≡ merge-then-enrich)."""
-    from nifi_nlp_processor_spark.functions.extractors import extract_entities
+    is a pure per-row function, so enrich-then-merge ≡ merge-then-enrich).
+
+    The enrichment runs the pure-Column JVM path (``extract_entities_sql``,
+    whole-stage codegen — no Python/Arrow stage in the flagship hot path);
+    the pandas parity path (``extract_entities``) is proven equivalent in
+    tests/test_extractors.py and kept for Python-only regex dialects."""
 
     ev = _corrupt(events_from_generic_table(spark, sf_dir))
     ev = ev.withColumn(
@@ -256,17 +278,13 @@ def q_cdc_apply_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".com"),
         ),
     ).withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
-    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'enr'))):x}"
-    root = os.path.join(_scratch_dir(), f"cdc_enr_{tag}")
-    for d in (root, root + "_in"):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    root = _scratch_root(spark, sf_dir, "cdc_enr")
     staged = root + "_in"
     ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
     lake = ParquetLakeTable(spark, root, n_buckets=16)
     engine = CdcEngine(
         lake=lake,
-        enrich=lambda df: extract_entities(df, {"email": _EMAIL_RE}),
+        enrich=lambda df: extract_entities_sql(df, {"email": _EMAIL_RE}),
     )
     engine.apply_epochs(spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3])
     return lake.read().select(
@@ -336,6 +354,45 @@ FROM documents
 """
 
 _DICT_WORDS = ("table", "query", "scan", "join", "agg", "merge", "spark")
+
+# model-backed enrichment: term gazetteer with per-term probabilities; the
+# strict `>` 0.5 threshold keeps spark/table, drops merge (== threshold)
+# and query (below) — the P2 contract through a model backend
+_MODEL_TERMS = {"spark": 0.9, "table": 0.8, "merge": 0.5, "query": 0.3}
+
+
+def q_enrich_model_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/E1 — the reference's model-backed NER path
+    (PontusNLPProcessor.java:350-352,386-404; loader
+    ModelJSONValidator.java:48-60): a model ARTIFACT written to disk,
+    validated eagerly on the driver, loaded once per worker process
+    (executor singleton), scored in Arrow batches, spans flowing through
+    the shared cap → strict-threshold → set-union contract
+    (``enrich_entities``). The oracle re-derives the surviving terms
+    (prob > 0.5: spark, table) per document."""
+    import json as _json
+
+    from nifi_nlp_processor_spark.functions.extractors import enrich_entities
+    from nifi_nlp_processor_spark.functions.model_backend import model_span_backend
+
+    root = _scratch_root(spark, sf_dir, "model")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "kw_model.json")
+    with open(path, "w") as fh:
+        _json.dump({"name": "kw-gazetteer", "terms": _MODEL_TERMS}, fh)
+    docs = load(spark, sf_dir, "documents")
+    out = enrich_entities(docs, {"kw": model_span_backend(path)}, threshold=0.5)
+    return out.select("doc_id", F.array_join("pg_nlp_res_kw", ",").alias("kw"))
+
+
+_MODEL_SPANS_SQL = r"""
+SELECT doc_id,
+  coalesce(array_to_string(
+    list_sort(list_filter(['spark', 'table'],
+                          t -> regexp_matches(lower(text), '\b' || t || '\b'))),
+    ','), '') AS kw
+FROM documents
+"""
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -636,16 +693,49 @@ FROM sh GROUP BY doc_id
 """
 
 
-def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard via shingle inverted-index self-join."""
-    sh = shingles(_sample_docs(spark, sf_dir), k=3)
-    return jaccard_pairs(sh, min_jaccard=0.02).withColumn(
-        "jaccard", F.round("jaccard", 6)
-    )
+# every crawl doc carries the same boilerplate header (the web-scale
+# reality the DF-cap exists for); its shingles hit every doc → df = corpus
+# size → dropped by the cap, instead of contributing n² join rows
+_BOILER = "shared boilerplate preamble "
+_MAX_DOC_FREQ = 10
 
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted-index self-join, with the
+    ``max_doc_freq`` stop-shingle cap ACTIVE: the planted boilerplate
+    prefix lands in every doc, its shingles exceed the cap and are dropped
+    before the join (non-vacuously — the oracle applies the identical cap
+    CTE). Jaccard is computed over the capped shingle space —
+    deterministic, not an approximation of the uncapped number."""
+    docs = _sample_docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit(_BOILER), F.col("text"))
+    )
+    sh = shingles(docs, k=3)
+    return jaccard_pairs(
+        sh, min_jaccard=0.02, max_doc_freq=_MAX_DOC_FREQ
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+# shingle CTE over boilerplate-prefixed docs + the DF-cap filter
+_CAPPED_SHINGLE_CTE = f"""
+d AS (SELECT doc_id, string_split('{_BOILER.strip()} ' || text, ' ') AS t
+      FROM documents WHERE doc_id % 5 = 0),
+tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM d),
+sh0 AS (
+  SELECT doc_id,
+    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+shu AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+kept AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM shu GROUP BY 1)
+  WHERE df <= {_MAX_DOC_FREQ}
+),
+sh AS (SELECT shu.doc_id, shu.shingle FROM shu JOIN kept USING (shingle))
+"""
 
 _JACCARD_SQL = f"""
-WITH {_SHINGLE_CTE},
+WITH {_CAPPED_SHINGLE_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 co AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS overlap
@@ -683,7 +773,20 @@ dd AS (
 )
 """
 
-# shared oracle CTE: distinct 3-gram shingles of dd (sampled + planted dups)
+# shared oracle CTE: distinct 3-gram shingles of dd (sampled + planted
+# dups); the _BOILER-prefixed variant feeds the DF-capped LSH oracle
+_BOILER_DUP_SHINGLE_CTE = f"""
+{_NEAR_DUP_CTE},
+dtok0 AS (SELECT doc_id, string_split('{_BOILER.strip()} ' || text, ' ') AS t FROM dd),
+dtok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM dtok0),
+dsh0 AS (
+  SELECT doc_id,
+    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+  FROM dtok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM dsh0 WHERE shingle IS NOT NULL)
+"""
+
 _DUP_SHINGLE_CTE = f"""
 {_NEAR_DUP_CTE},
 dtok0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM dd),
@@ -698,14 +801,20 @@ dsh AS (SELECT DISTINCT doc_id, shingle FROM dsh0 WHERE shingle IS NOT NULL)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pipeline end-to-end: MinHash signatures → LSH banding →
-    exact Jaccard verify of candidates only, over docs with planted
-    near-duplicates. Portable md5 signature + concat band buckets so the
-    whole pipeline (banding included) is DuckDB-expressible; the xxhash64
-    scale flavor is cross-checked against this one in
+    """Near-dup pipeline end-to-end in its 100 TB shape: boilerplate-laden
+    docs (planted prefix on every doc) → DF-cap ONCE, up front (boilerplate
+    shingles dropped before they can drag every MinHash bucket together OR
+    blow up the verify join) → MinHash signatures → LSH banding → exact
+    Jaccard verify of candidate pairs only, with the verify's shingle
+    relation semi-joined down to candidate doc ids BELOW the self-join
+    (see ``jaccard_pairs``). Portable md5 signature + concat band buckets
+    so the whole pipeline (cap and banding included) is
+    DuckDB-expressible; the xxhash64 scale flavor is cross-checked in
     tests/test_dedup_scale.py."""
-    docs = _docs_with_near_dups(spark, sf_dir)
-    sh = shingles(docs, k=3)
+    docs = _docs_with_near_dups(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit(_BOILER), F.col("text"))
+    )
+    sh = df_capped_shingles(shingles(docs, k=3), max_doc_freq=_MAX_DOC_FREQ)
     sig = minhash_signatures(sh, num_hashes=8, hash_fn="md5")
     cand = lsh_candidate_pairs(sig, bands=4, bucket_fn="concat")
     return jaccard_pairs(sh, min_jaccard=0.5, candidates=cand).withColumn(
@@ -714,11 +823,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_LSH_SQL = f"""
-WITH {_DUP_SHINGLE_CTE},
+WITH {_BOILER_DUP_SHINGLE_CTE},
+dkept AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM dsh GROUP BY 1)
+  WHERE df <= {_MAX_DOC_FREQ}
+),
+dshc AS (SELECT dsh.doc_id, dsh.shingle FROM dsh JOIN dkept USING (shingle)),
 sig AS (
   SELECT doc_id,
     {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
-  FROM dsh GROUP BY doc_id
+  FROM dshc GROUP BY doc_id
 ),
 banded AS (
   {" UNION ALL ".join(
@@ -731,10 +845,10 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM dshc GROUP BY doc_id),
 co AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS overlap
-  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM dshc a JOIN dshc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 j AS (
@@ -1064,12 +1178,8 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    tag = f"{abs(hash((spark.sparkContext.applicationId, sf_dir, 'sess'))):x}"
-    base = os.path.join(_scratch_dir(), f"cdc_sess_{tag}")
+    base = _scratch_root(spark, sf_dir, "cdc_sess")
     src, out, ckpt = base + "_src", base + "_out", base + "_ckpt"
-    for d in (src, out, ckpt):
-        if os.path.exists(d):
-            shutil.rmtree(d)
     ev.coalesce(4).write.parquet(src)
     stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
     q = (
@@ -1081,7 +1191,11 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # on timeout the query is still running and `out` holds partial
+        # results — stop it and fail loudly rather than return them
+        q.stop()
+        raise TimeoutError("sessionize stream did not drain within 300 s")
     return spark.read.parquet(out)
 
 
@@ -1204,6 +1318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_enriched": q_cdc_apply_enriched,
     "cdc_conflict_rollup": q_cdc_conflict_rollup,
     "extract_emails": q_extract_emails,
+    "enrich_model_spans": q_enrich_model_spans,
     "dict_membership_pct": q_dict_membership_pct,
     "dict_from_raw_pct": q_dict_from_raw_pct,
     "classify_domain_winner": q_classify_domain_winner,
@@ -1236,6 +1351,7 @@ ORACLES: dict[str, str] = {
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,
     "extract_emails": _EXTRACT_EMAILS_SQL,
+    "enrich_model_spans": _MODEL_SPANS_SQL,
     "dict_membership_pct": _DICT_PCT_SQL,
     "dict_from_raw_pct": _DICT_PCT_SQL,
     "classify_domain_winner": _CLASSIFY_SQL,

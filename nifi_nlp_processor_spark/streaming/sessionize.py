@@ -17,16 +17,23 @@ until a later batch closes it (or a GroupStateTimeout would flush it —
 timeout flushing is left to the caller's trigger policy so results stay
 deterministic for testing).
 
-Scale: state per key is O(1) (three scalars), group batches arrive sorted
-per key only within what the caller guarantees — the function sorts each
-batch by timestamp, and cross-batch ordering is the stream's
-watermark/delivery contract, as with any Spark stateful operator.
+Scale: state per key is O(1) (three scalars). A group's rows arrive as an
+ITERATOR of Arrow chunks in arbitrary (post-shuffle) order — a user whose
+micro-batch exceeds ``spark.sql.execution.arrow.maxRecordsPerBatch`` spans
+several chunks — so the function materializes the full group and sorts by
+timestamp ONCE before sessionizing (sorting per chunk would split sessions
+wrongly and could even emit session_end < session_start). Cross-BATCH
+ordering is the stream's watermark/delivery contract, as with any Spark
+stateful operator. Within a batch the session boundaries are computed
+vectorized (diff + cumsum over the sorted series, one groupby aggregate),
+not an event-at-a-time Python loop.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -51,6 +58,46 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _sessionize_batch(
+    us,
+    gap_us: int,
+    carried: tuple | None,
+) -> list[tuple]:
+    """Pure, vectorized core (unit-testable without Spark): ``us`` is the
+    group's full micro-batch of event times in µs (pd.Series or ndarray),
+    UNSORTED; ``carried`` is the open (start_us, last_us, n) session from
+    state or None. Returns the batch's sessions in time order as
+    (start_us, last_us, n) int tuples, carried session merged — the LAST
+    tuple is the still-open session, everything before it closed.
+
+    One numpy sort + one diff + fancy indexing on the session boundaries —
+    no per-event Python, no intermediate DataFrame (block consolidation on
+    a large batch costs more than the whole computation)."""
+    arr = np.sort(np.asarray(us, dtype=np.int64))
+    brk = np.empty(arr.shape, dtype=bool)
+    np.greater(arr[1:] - arr[:-1], gap_us, out=brk[1:])
+    # does the first event continue the carried session or open a new one?
+    brk[0] = True if carried is None else int(arr[0]) - carried[1] > gap_us
+    bounds = np.flatnonzero(brk)  # index of each session's first event
+    continues = False
+    if bounds.size == 0 or bounds[0] != 0:
+        bounds = np.insert(bounds, 0, 0)  # segment 0 continues `carried`
+        continues = True
+    ends = np.append(bounds[1:], arr.size)
+    sessions = [
+        (int(arr[s]), int(arr[e - 1]), int(e - s))
+        for s, e in zip(bounds, ends)
+    ]
+    if carried is not None:
+        if continues:
+            s0 = sessions[0]
+            sessions[0] = (carried[0], s0[1], carried[2] + s0[2])
+        else:
+            # batch starts past the gap: the carried session closes as-is
+            sessions.insert(0, tuple(carried))
+    return sessions
+
+
 def _make_fn(gap_seconds: int):
     gap_us = gap_seconds * 1_000_000
 
@@ -60,31 +107,23 @@ def _make_fn(gap_seconds: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = None
-            n = 0
-        closed: list[tuple] = []
-        for pdf in pdfs:
-            ts = pdf["ts"].sort_values()
-            for t in ts:
-                t_us = t.value // 1_000  # pandas ns → µs
-                if last_us is not None and t_us - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n))
-                    start_us, n = t_us, 0
-                if start_us is None:
-                    start_us = t_us
-                last_us = t_us
-                n += 1
-        state.update((start_us, last_us, n))
+        # Materialize ALL chunks before sorting: chunk boundaries are an
+        # Arrow batching artifact with no time-order guarantee.
+        chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
+        carried = tuple(state.get) if state.exists else None
+        if not chunks:
+            return  # timeout/empty delivery: state untouched
+        us = pd.concat(chunks, ignore_index=True).astype("int64") // 1_000
+        sessions = _sessionize_batch(us, gap_us, carried)
+        state.update(tuple(int(x) for x in sessions[-1]))
+        closed = sessions[:-1]
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
-                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
-                    "n_events": [c[3] for c in closed],
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [int(c[2]) for c in closed],
                 }
             )
 

@@ -70,13 +70,16 @@ def test_lsh_flavors_agree(spark):
 
 
 def test_simhash_near_pairs_pigeonhole_complete(spark):
-    """Both hash flavors: banding must surface EVERY pair whose true
-    Hamming distance is ≤ max_hamming (the pigeonhole guarantee — with 4
-    bands any pair within distance 3 agrees exactly on ≥1 slice), and
-    nothing farther. Cross-checked against a driver-side popcount over
-    all C(50,2) fingerprint pairs."""
+    """Both hash flavors at their native widths — md5_32 at 32 bits
+    (4×8-bit slices) and xxhash64 at 64 bits (4×16-bit slices, the corpus-
+    scale flavor): banding must surface EVERY pair whose true Hamming
+    distance is ≤ max_hamming (the pigeonhole guarantee — with 4 bands any
+    pair within distance 3 agrees exactly on ≥1 slice), and nothing
+    farther. Cross-checked against a driver-side popcount over all
+    C(50,2) fingerprint pairs."""
     docs = _docs(spark)
-    for flavor in ("xxhash64", "md5_32"):
+    for flavor, bits in (("xxhash64", 64), ("md5_32", 32)):
+        mask = (1 << bits) - 1
         fps = sorted(
             (r.doc_id, r.simhash) for r in simhash(docs, hash_fn=flavor).collect()
         )
@@ -84,16 +87,63 @@ def test_simhash_near_pairs_pigeonhole_complete(spark):
             (a, b)
             for i, (a, fa) in enumerate(fps)
             for b, fb in fps[i + 1 :]
-            if bin((fa ^ fb) & 0xFFFFFFFF).count("1") <= 3
+            if bin((fa ^ fb) & mask).count("1") <= 3
         }
         got = {
             (r.a_id, r.b_id)
             for r in simhash_near_pairs(
-                simhash(docs, hash_fn=flavor), max_hamming=3, bands=4
+                simhash(docs, hash_fn=flavor), max_hamming=3, bands=4, bits=bits
             ).collect()
         }
         assert got == expected, flavor
         assert expected, f"{flavor}: vacuous (no near pairs in fixture)"
+
+
+def test_simhash_64bit_finds_planted_twins(spark):
+    """The 64-bit xxhash64 scale flavor on near-identical long docs: one
+    extra token on a 200-token doc flips only the tie-margin bits, so
+    twins land within the pigeonhole bound (≤3) and the 4×16-bit banding
+    surfaces them; distinct-content docs stay far apart. Verified against
+    a driver-side popcount (got == expected), with non-vacuity asserts:
+    twins are found, no false pair at this corpus size, and the
+    fingerprints actually use the high 32 bits (64-bit isn't silently
+    truncated)."""
+    base = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}_"), (F.col("id") * 37 + j * 11).cast("string"))
+                for j in range(200)
+            ],
+        ).alias("text"),
+    )
+    twins = base.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    docs = base.unionByName(twins)
+    fps = sorted(
+        (r.doc_id, r.simhash)
+        for r in simhash(docs, hash_fn="xxhash64").collect()  # bits → 64
+    )
+    assert any((f & ((1 << 64) - 1)) > 0xFFFFFFFF for _, f in fps), "high 32 bits unused"
+    expected = {
+        (a, b)
+        for i, (a, fa) in enumerate(fps)
+        for b, fb in fps[i + 1 :]
+        if bin((fa ^ fb) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in simhash_near_pairs(
+            simhash(docs, hash_fn="xxhash64"), max_hamming=3, bands=4, bits=64
+        ).collect()
+    }
+    assert got == expected
+    planted = {(i, i + 10000) for i in range(0, 30, 4)}
+    assert got & planted, "vacuous: no twin within Hamming 3"
+    assert got <= planted, f"false near-pairs at 64 bits: {sorted(got - planted)[:5]}"
 
 
 def test_mega_bucket_star_expansion(spark):
@@ -148,6 +198,55 @@ def test_jaccard_doc_freq_cap(spark):
     # 'common stop words' (and the two bridge shingles into each doc's
     # unique stream are per-doc-unique, so exactly one shingle is global)
     assert obs.get["dropped_shingles"] >= 1
+
+
+def test_jaccard_verify_restricted_to_candidate_docs(spark):
+    """VERDICT r2 #1: with ``candidates`` given, the exact-verify must
+    restrict the shingle relation to candidate doc ids BELOW the
+    inverted-index self-join — O(|candidate docs|), not O(Σ df²) over the
+    corpus — plus a pair-level semi-join above the aggregate. Two checks:
+
+    1. plan structure: in the optimized logical plan, the self-join on
+       ``shingle`` has a LeftSemi join among its descendants (the id
+       restriction sits under it, not only above the aggregate);
+    2. semantics: results equal the unrestricted run filtered to the
+       candidate pairs (restriction changes cost, never values), and a
+       non-candidate pair sharing shingles does NOT appear."""
+    docs = _docs(spark)
+    sh = shingles(docs, k=3)
+    sig = minhash_signatures(sh, num_hashes=8)
+    cand = lsh_candidate_pairs(sig, bands=4)
+    out = jaccard_pairs(sh, min_jaccard=0.5, candidates=cand)
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    join_idx = next(
+        i for i, l in enumerate(lines) if "Join Inner" in l and "shingle" in l
+    )
+    d0 = depth(lines[join_idx])
+    subtree = []
+    for l in lines[join_idx + 1 :]:
+        if depth(l) <= d0:
+            break
+        subtree.append(l)
+    assert any("LeftSemi" in l for l in subtree), (
+        "no LeftSemi below the shingle self-join — the verify still scans "
+        "non-candidate docs:\n" + plan
+    )
+
+    got = {(r.a_id, r.b_id, round(r.jaccard, 6)) for r in out.collect()}
+    cand_set = {(r.a_id, r.b_id) for r in cand.collect()}
+    unrestricted = {
+        (r.a_id, r.b_id, round(r.jaccard, 6))
+        for r in jaccard_pairs(sh, min_jaccard=0.5).collect()
+        if (r.a_id, r.b_id) in cand_set
+    }
+    assert got == unrestricted
+    assert got, "vacuous: no verified candidate pairs"
 
 
 def test_embedding_near_pairs_recall_and_precision(spark):

@@ -1,14 +1,21 @@
 """Stateful streaming sessionization (applyInPandasWithState): per-user
 session state survives across micro-batches AND across query restarts
 (state lives in the checkpoint); closed sessions are emitted append-mode
-exactly once."""
+exactly once. Also covers the Arrow-chunking contract (a group bigger
+than maxRecordsPerBatch arrives as several unordered chunks) and the
+vectorized batch core."""
 
 from __future__ import annotations
 
 import datetime
 import os
+import random
+import time
+
+import pandas as pd
 
 from nifi_nlp_processor_spark.streaming import sessionize_stream
+from nifi_nlp_processor_spark.streaming.sessionize import _sessionize_batch
 
 BASE = datetime.datetime(2026, 1, 1)
 SCHEMA = "user_id long, ts timestamp"
@@ -69,6 +76,126 @@ def test_sessionize_stream_across_restarts(spark, tmp_path):
         (1, _t(2000), _t(2000), 1),
         (2, _t(0), _t(100), 3),
     }
+
+
+def _looped_reference(us_sorted, gap_us, carried):
+    """The pre-vectorization event-at-a-time algorithm, kept as the test
+    oracle for the vectorized core."""
+    if carried is not None:
+        start, last, n = carried
+    else:
+        start = last = None
+        n = 0
+    sessions = []
+    for t in us_sorted:
+        if last is not None and t - last > gap_us:
+            sessions.append((start, last, n))
+            start, n = t, 0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+    sessions.append((start, last, n))
+    return sessions
+
+
+def test_sessionize_batch_core_matches_loop():
+    """Vectorized core ≡ the event loop on random batches, with and
+    without carried state (continuation and past-the-gap cases both hit)."""
+    rng = random.Random(7)
+    gap_us = 1800 * 1_000_000
+    for trial in range(20):
+        t, us = 0, []
+        for _ in range(rng.randint(1, 300)):
+            t += rng.choice([1, 50, 1799, 1801, 4000]) * 1_000_000
+            us.append(t)
+        carried = None
+        if trial % 3:
+            first = us[0]
+            off = rng.choice([10, 1799, 1801, 7200]) * 1_000_000
+            carried = (max(first - off - 5_000_000, 0), max(first - off, 0), 3)
+        shuffled = us[:]
+        rng.shuffle(shuffled)
+        got = [
+            tuple(int(x) for x in s)
+            for s in _sessionize_batch(pd.Series(shuffled, dtype="int64"), gap_us, carried)
+        ]
+        assert got == _looped_reference(sorted(us), gap_us, carried), (trial, carried)
+
+
+def _old_impl_loop(ts: pd.Series, gap_us: int, carried):
+    """The r2 implementation verbatim (streaming/sessionize.py pre-r3):
+    sort the timestamp Series, then a per-event Python loop over
+    pd.Timestamp objects with `.value` extraction — the thing VERDICT r2
+    #7 told us to vectorize. Kept as the micro-bench baseline."""
+    if carried is not None:
+        start_us, last_us, n = carried
+    else:
+        start_us = last_us = None
+        n = 0
+    closed = []
+    for t in ts.sort_values():
+        t_us = t.value // 1_000
+        if last_us is not None and t_us - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, n = t_us, 0
+        if start_us is None:
+            start_us = t_us
+        last_us = t_us
+        n += 1
+    closed.append((start_us, last_us, n))
+    return closed
+
+
+def test_sessionize_batch_vectorized_speedup():
+    """VERDICT r2 #7 'done' bar: ≥5× over the old per-event-loop
+    implementation on a large group (realistic gap mix: ~4% of gaps cross
+    the session boundary). Both paths get the same datetime64 Series; the
+    old path loops pd.Timestamp objects, the new one runs numpy
+    sort/diff/fancy-indexing on the int64 view."""
+    rng = random.Random(11)
+    t, us = 0, []
+    for _ in range(300_000):
+        t += rng.choice([1_000_000] * 20 + [30_000_000] * 5 + [2_000_000_000])
+        us.append(t)
+    rng.shuffle(us)
+    ts = pd.Series(pd.to_datetime(pd.array(us, dtype="int64"), unit="us"))
+    gap_us = 1800 * 1_000_000
+
+    t0 = time.perf_counter()
+    got = _sessionize_batch(ts.astype("int64") // 1_000, gap_us, None)
+    t_vec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    want = _old_impl_loop(ts, gap_us, None)
+    t_loop = time.perf_counter() - t0
+
+    assert got == want
+    assert t_loop / t_vec >= 5, f"speedup only {t_loop / t_vec:.1f}× ({t_loop:.3f}s vs {t_vec:.3f}s)"
+
+
+def test_sessionize_stream_group_spanning_arrow_chunks(spark, tmp_path):
+    """ADVICE r2 #1: a single user whose micro-batch exceeds
+    spark.sql.execution.arrow.maxRecordsPerBatch arrives as MULTIPLE Arrow
+    chunks in arbitrary order; the operator must materialize + sort the
+    whole group once, or sessions split wrongly (and session_end can
+    precede session_start). Two interleaved bursts, shuffled on write,
+    tiny Arrow batches → exactly one closed session with exact bounds."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    burst1 = [(9, _t(2 * i)) for i in range(3000)]
+    burst2 = [(9, _t(100_000 + 2 * i)) for i in range(2000)]
+    rows = burst1 + burst2
+    random.Random(3).shuffle(rows)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        _write(spark, src, rows, 1)
+        _run(spark, src, out, ckpt)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert _sessions(spark, out) == {(9, _t(0), _t(2 * 2999), 3000)}
 
 
 def test_sessionize_multiple_gaps_in_one_batch(spark, tmp_path):
