@@ -21,6 +21,15 @@ Lucene membership probe (PontusLuceneIndexReaderProcessor.java:129-135,
                       bucket. Hyperplanes are derived deterministically from
                       a seed with xxhash64 — no Python RNG, identical on any
                       cluster.
+``ivf_topk``        — inverted-file (IVF) cell-probed ANN: the corpus is
+                      assigned once to its nearest centroid cell by a pure
+                      codegen expression over broadcast centroid literals
+                      (zero shuffle on the corpus), each query probes its
+                      ``nprobe`` nearest cells, and exact cosine re-ranks
+                      inside the probed cells only. Centroids are a model
+                      artifact: any trained list plugs in; the default
+                      seeding is deterministic so tests and the SQL oracle
+                      reproduce the identical partition of the corpus.
 """
 
 from __future__ import annotations
@@ -176,6 +185,110 @@ def embedding_near_pairs(
     if round_digits is not None:
         scored = scored.withColumn("score", F.round("score", round_digits))
     return scored.where(F.col("score") >= threshold).select("id_a", "id_b", "score")
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seeds: the ``n_cells`` lowest-id corpus
+    vectors, as (cid, vector) pairs. In production IVF the centroids are a
+    k-means artifact trained offline on a sample; this seam accepts any
+    such list — the physical plan downstream is identical. The lowest-id
+    seeding exists so tests and the SQL oracle can re-derive the exact
+    same cell partition with no RNG and no training step. The collect is
+    bounded by ``n_cells`` (the model size), never by the corpus."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _cell_scores(vec_col, centroids, round_digits: int = 6):
+    """Array of struct(d, cid) — rounded cosine distance to every centroid.
+    Struct ordering is lexicographic, so array_min / array_sort rank by
+    (distance, cid): rounding makes the boundary stable across engines and
+    the cid component breaks exact ties deterministically."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vn = _norm(v)
+    scores = []
+    for cid, cv in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        cn = sum(x * x for x in cv) ** 0.5
+        d = F.round(F.lit(1.0) - _dot(v, lit) / (vn * F.lit(cn)), round_digits)
+        scores.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    return F.array(*scores)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Adds the IVF cell id: nearest centroid by rounded cosine distance,
+    ties to the lowest cid. Pure codegen over centroid literals — the
+    corpus is scanned once with NO shuffle; on a real lake the cell becomes
+    a hidden partition column so probes prune at the file level."""
+    return df.withColumn(
+        out, F.array_min(_cell_scores(vec_col, centroids)).getField("cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF-probed ANN: (query_id, neighbor_id, rank, score).
+
+    The scale shape: corpus→cell assignment is a shuffle-free codegen
+    expression (centroids are broadcast literals — the IVF "index" is a
+    model artifact, not a join side); each query explodes to its ``nprobe``
+    nearest cells and the exploded probe set is broadcast, so the only
+    wide operation is the per-query rank over candidates already cut to
+    ~``nprobe``/``n_cells`` of the corpus. Recall < 1 by design (a true
+    neighbor in an unprobed cell is missed — raise nprobe for recall);
+    precision is exact within probed cells. Scores are rounded before
+    ranking, ties break by neighbor id (stable across engines)."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        centroids,
+        "_cv",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.slice(F.array_sort(_cell_scores(vec_col, centroids)), 1, nprobe)
+        ).alias("_probe"),
+    ).select("query_id", "_qv", F.col("_probe.cid").alias("cell"))
+    scored = with_cosine(c.join(F.broadcast(q), "cell"), "_qv", "_cv").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round("score", round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
 
 
 def lsh_topk(

@@ -58,6 +58,7 @@ from nifi_nlp_processor_spark.operators.quarantine import split_valid
 from nifi_nlp_processor_spark.operators.similarity import (
     cosine_topk,
     embedding_near_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from nifi_nlp_processor_spark.runner import CdcEngine
@@ -419,6 +420,41 @@ SELECT source,
   round(avg(CASE WHEN value IN ({_IN_LIST}) THEN 1 ELSE 0 END) * 100.0, 6) AS frequency
 FROM toks GROUP BY source
 """
+
+def q_dict_fuzzy_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 fuzzy — the reader's ``~%s`` Lucene similarity mode, dispatched
+    through the validated query-format contract
+    (PontusProcessorBase.java:109-131 → membership_with_format): edit
+    distance ≤ 1 against the broadcast dictionary, probed over DISTINCT
+    candidate keys only (the round-2 row-inflation fix keeps duplicate
+    tokens 1:1), then the standard percentage aggregate. The oracle
+    recomputes the same levenshtein predicate per token."""
+    from nifi_nlp_processor_spark.functions.dictionary import membership_with_format
+
+    docs = load(spark, sf_dir, "documents")
+    dic = spark.createDataFrame([(w,) for w in _DICT_WORDS], "value string")
+    probed = membership_with_format(
+        _tokens(docs), dic, "~%s", mode="exact", max_edits=1
+    )
+    return percentage_match(probed, ["source"]).withColumn(
+        "frequency", F.round("frequency", 6)
+    )
+
+
+_VALUES_LIST = ", ".join(f"('{w}')" for w in _DICT_WORDS)
+_DICT_FUZZY_SQL = f"""
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS value FROM documents),
+d(v) AS (VALUES {_VALUES_LIST}),
+m AS (
+  SELECT source,
+    EXISTS (SELECT 1 FROM d WHERE levenshtein(value, v) <= 1) AS matched
+  FROM toks
+)
+SELECT source,
+  round(avg(CASE WHEN matched THEN 1 ELSE 0 END) * 100.0, 6) AS frequency
+FROM m GROUP BY source
+"""
+
 
 _DOMAINS = {
     "sparkish": ("spark", "stream", "batch", "window", "merge"),
@@ -1059,6 +1095,53 @@ SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probed ANN (the partition-pruning scale path): corpus→cell
+    assignment is a shuffle-free codegen expression over broadcast centroid
+    literals, queries probe their 2 nearest of 8 cells, exact cosine
+    re-ranks inside probed cells only. Deterministic lowest-id centroid
+    seeding lets the oracle re-derive the identical cell partition."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), n_cells=8, nprobe=2, k=5
+    )
+
+
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+ad AS (
+  SELECT e.vec_id, e.v, cent.cid,
+    round(1.0 - list_dot_product(v, cv) /
+      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS d
+  FROM e, cent
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cid AS cell FROM (
+    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+    SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM ad WHERE vec_id < 20
+  ) WHERE rn <= 2
+),
+s AS (
+  SELECT p.query_id, a.neighbor_id,
+    round(list_dot_product(qv, nv) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 4) AS score
+  FROM probe p JOIN assign a ON p.cell = a.cell AND p.query_id <> a.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1321,6 +1404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_model_spans": q_enrich_model_spans,
     "dict_membership_pct": q_dict_membership_pct,
     "dict_from_raw_pct": q_dict_from_raw_pct,
+    "dict_fuzzy_pct": q_dict_fuzzy_pct,
     "classify_domain_winner": q_classify_domain_winner,
     "classify_regex_winner": q_classify_regex_winner,
     "colmeta_discovery": q_colmeta_discovery,
@@ -1332,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
@@ -1354,6 +1439,7 @@ ORACLES: dict[str, str] = {
     "enrich_model_spans": _MODEL_SPANS_SQL,
     "dict_membership_pct": _DICT_PCT_SQL,
     "dict_from_raw_pct": _DICT_PCT_SQL,
+    "dict_fuzzy_pct": _DICT_FUZZY_SQL,
     "classify_domain_winner": _CLASSIFY_SQL,
     "classify_regex_winner": _CLASSIFY_REGEX_SQL,
     "colmeta_discovery": _COLMETA_SQL,
@@ -1365,6 +1451,7 @@ ORACLES: dict[str, str] = {
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,
     "ann_lsh_topk": _ann_lsh_sql(),
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "dedup_embed_cosine": _embed_near_sql(),
     "text_quality": _QUALITY_SQL,
     "token_count_by_lang": _TOKEN_COUNT_SQL,
