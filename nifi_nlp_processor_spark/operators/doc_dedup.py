@@ -30,6 +30,10 @@ operators supply it Spark-first, all as declarative DataFrame plans
                           (sum of masked hash bits), zero UDFs.
 ``simhash_near_pairs``  — near-dup pairs by Hamming distance over same-band
                           SimHash buckets.
+``connected_components`` — resolve any pair set (LSH/SimHash/embedding
+                          near-dups) into clusters by min-label propagation
+                          with pointer jumping: the canonical keeper per
+                          near-dup cluster is the component minimum.
 """
 
 from __future__ import annotations
@@ -289,6 +293,68 @@ def jaccard_pairs(
         )
     )
     return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair set: (id, component) for
+    every id appearing in ≥1 pair, component = the minimum id reachable —
+    i.e. the canonical keeper of each near-dup cluster (the transitive
+    closure the star-expansion docstring above promises downstream).
+
+    Algorithm: min-label propagation with pointer jumping. Each iteration
+    (a) lowers every node's label to the min over its neighbors' labels
+    (one groupBy over the edge relation — partial aggregation combines
+    map-side) and (b) jumps each label to its label's label (one join on
+    the label relation), so label distances roughly halve per round:
+    convergence in O(log diameter) iterations, not O(diameter). Near-dup
+    graphs are shallow by construction (LSH star expansion routes
+    mega-buckets through a hub ⇒ diameter ≤ 2 per bucket), so 2–3 rounds
+    are typical at any scale. Each iteration materializes the label
+    relation with ``localCheckpoint`` — O(|V|) rows — which truncates the
+    iterative lineage (without it the plan doubles per round); the only
+    driver-side action per round is the changed-label count on the
+    checkpointed relation. Deterministic: min() everywhere, no RNG."""
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), F.col("comp").alias("vc")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vc").alias("nc"))
+            .select(F.col("u").alias("id"), "nc")
+        )
+        prop = labels.join(nbr, "id", "left").select(
+            "id", "comp", F.least("comp", F.coalesce("nc", "comp")).alias("c1")
+        )
+        jump = prop.select(F.col("id").alias("jid"), F.col("c1").alias("jc"))
+        merged = (
+            prop.join(jump, prop["c1"] == jump["jid"], "left")
+            .select(
+                "id", "comp",
+                F.least("c1", F.coalesce("jc", "c1")).alias("new_comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.where(F.col("new_comp") < F.col("comp")).count()
+        labels = merged.select("id", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
 def simhash(

@@ -44,6 +44,7 @@ from nifi_nlp_processor_spark.functions.extractors import extract_entities_sql
 from nifi_nlp_processor_spark.functions.textstats import lang_id, quality_stats
 from nifi_nlp_processor_spark.lake import ParquetLakeTable
 from nifi_nlp_processor_spark.operators.doc_dedup import (
+    connected_components,
     df_capped_shingles,
     exact_dedup,
     jaccard_pairs,
@@ -858,8 +859,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_LSH_SQL = f"""
-WITH {_BOILER_DUP_SHINGLE_CTE},
+# CTE chain shared by the LSH oracle and the cluster-resolution oracle
+_MINHASH_LSH_BODY = f"""{_BOILER_DUP_SHINGLE_CTE},
 dkept AS (
   SELECT shingle FROM (SELECT shingle, count(*) AS df FROM dsh GROUP BY 1)
   WHERE df <= {_MAX_DOC_FREQ}
@@ -893,8 +894,53 @@ j AS (
   FROM co
   JOIN cand ON cand.a_id = co.a_id AND cand.b_id = co.b_id
   JOIN sizes sa ON sa.doc_id = co.a_id JOIN sizes sb ON sb.doc_id = co.b_id
-)
+)"""
+
+_MINHASH_LSH_SQL = f"""
+WITH {_MINHASH_LSH_BODY}
 SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: the full LSH pipeline's verified pairs
+    resolved to connected components (min-label propagation + pointer
+    jumping, O(log diameter) rounds) → one row per clustered doc with its
+    canonical keeper (component min id) and cluster size. This is the
+    consume side of dedup at 100 TB: keep ``cluster_id == doc_id`` rows,
+    drop the rest."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "n_members",
+        )
+    )
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_LSH_BODY},
+pairs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.5),
+sym AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+cs AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id, cs.n_members
+FROM comp JOIN cs USING (cluster_id)
 """
 
 
@@ -1412,6 +1458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1447,6 +1494,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_sig": _MINHASH_SQL,
     "dedup_jaccard_pairs": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,

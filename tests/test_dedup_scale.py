@@ -278,3 +278,42 @@ def test_embedding_near_pairs_recall_and_precision(spark):
         .where(F.round("score", 6) >= 0.9)
     )
     assert {(r.id_a, r.id_b) for r in brute.collect()} == got
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Cluster resolution over a worst-case shape for label propagation: a
+    64-node path graph (diameter 63 — plain propagation would need 63
+    rounds; pointer jumping must converge in far fewer than max_iter), two
+    disjoint triangles, and an isolated pair. Every node must resolve to
+    its component's minimum id."""
+    from nifi_nlp_processor_spark.operators.doc_dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 163)]          # path 100..163
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    pair = [(50, 51)]
+    edges = spark.createDataFrame(chain + tri1 + tri2 + pair, "a_id long, b_id long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    want = (
+        {(i, 100) for i in range(100, 164)}
+        | {(i, 0) for i in (0, 1, 2)}
+        | {(i, 10) for i in (10, 11, 12)}
+        | {(50, 50), (51, 50)}
+    )
+    assert got == want
+
+
+def test_connected_components_empty_and_star(spark):
+    """Empty pair set → empty result; a star (the LSH mega-bucket expansion
+    shape) converges in one round to the hub."""
+    from nifi_nlp_processor_spark.operators.doc_dedup import connected_components
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(empty).count() == 0
+
+    star = spark.createDataFrame([(5, i) for i in range(6, 30)], "a_id long, b_id long")
+    got = {(r.id, r.component) for r in connected_components(star).collect()}
+    assert got == {(i, 5) for i in range(5, 30)}
