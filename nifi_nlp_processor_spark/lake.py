@@ -347,6 +347,110 @@ class ParquetLakeTable:
             .drop(META_LSN, META_DELETED, BUCKET_COL)
         )
 
+    def _read_manifest_buckets(
+        self, c: dict, bucket_ids: list[str], full: T.StructType
+    ) -> DataFrame:
+        """Rows of the listed bucket pointers of manifest ``c``, aligned to
+        ``full`` (old-schema files read with their own schema, then cast)."""
+        by_schema: dict[str, list[str]] = {}
+        for b in bucket_ids:
+            ptr = c["buckets"].get(b)
+            if ptr is None:
+                continue
+            p = os.path.join(self.root, ptr["path"])
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"snapshot references expired data ({ptr['path']}); "
+                    "it was reclaimed by expire_snapshots"
+                )
+            by_schema.setdefault(ptr["schema"], []).append(p)
+        if not by_schema:
+            return self.spark.createDataFrame([], full)
+        parts = []
+        for sname, paths in by_schema.items():
+            parts.append(align(self.spark.read.parquet(*paths), full))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def table_changes(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
+        """Changelog read (Iceberg CDF / ``table_changes`` analogue): the
+        NET row-level delta between committed snapshot ``from_seq`` and
+        ``to_seq`` (default: current head) — what a downstream incremental
+        consumer must apply to go from one snapshot to the other without
+        replaying the change stream. One row per key whose live image
+        differs: ``change_type`` insert/update/delete, the post-image for
+        inserts/updates, the pre-image for deletes, and the winning
+        writer's LSN from the target snapshot.
+
+        ``from_seq=0`` diffs against the empty table (a bootstrap read:
+        every live row is an insert).
+
+        Scale shape: the manifests are diffed first and only buckets whose
+        pointer CHANGED between the two snapshots are read on either side —
+        an untouched bucket is inherited by pointer, so it provably holds
+        identical rows and is pruned without touching its files. The diff
+        join therefore scans and shuffles O(changed buckets), not O(table);
+        both sides are hash-bucketed identically on the merge key, so the
+        full-outer join's shuffle is the same partitioning the merge itself
+        uses. Tombstones are retained by the merge (module doc), so deletes
+        remain visible to any later ``from_seq``."""
+        c_to = self.commit_at(to_seq) if to_seq is not None else self.last_commit()
+        if c_to is None:
+            raise ValueError("table has no commits")
+        if from_seq == 0:
+            c_from: dict = {"buckets": {}}
+        else:
+            c_from = self.commit_at(from_seq)
+        with open(os.path.join(self.root, "_schema", c_to["schema"])) as fh:
+            schema = T.StructType.fromJson(json.load(fh))
+        full = T.StructType(
+            schema.fields
+            + [
+                T.StructField(META_LSN, T.LongType()),
+                T.StructField(META_DELETED, T.BooleanType()),
+            ]
+        )
+        changed = sorted(
+            b
+            for b in set(c_from["buckets"]) | set(c_to["buckets"])
+            if c_from["buckets"].get(b) != c_to["buckets"].get(b)
+        )
+        old = self._read_manifest_buckets(c_from, changed, full)
+        new = self._read_manifest_buckets(c_to, changed, full)
+        data_cols = [f.name for f in schema.fields if f.name not in self.key_cols]
+        o = old.select(
+            *self.key_cols,
+            F.struct(*[F.col(c) for c in data_cols]).alias("_oimg"),
+            F.col(META_LSN).alias("_olsn"),
+            F.col(META_DELETED).alias("_odel"),
+        )
+        n = new.select(
+            *self.key_cols,
+            F.struct(*[F.col(c) for c in data_cols]).alias("_nimg"),
+            F.col(META_LSN).alias("_nlsn"),
+            F.col(META_DELETED).alias("_ndel"),
+        )
+        j = o.join(n, self.key_cols, "full_outer")
+        old_live = F.col("_olsn").isNotNull() & ~F.coalesce("_odel", F.lit(False))
+        new_live = F.col("_nlsn").isNotNull() & ~F.coalesce("_ndel", F.lit(False))
+        ct = (
+            F.when(~old_live & new_live, F.lit("insert"))
+            .when(old_live & ~new_live, F.lit("delete"))
+            .when(old_live & new_live & (F.col("_nlsn") > F.col("_olsn")), F.lit("update"))
+        )
+        j = j.withColumn("change_type", ct).where(F.col("change_type").isNotNull())
+        img = F.when(F.col("change_type") == "delete", F.col("_oimg")).otherwise(
+            F.col("_nimg")
+        )
+        return j.select(
+            *self.key_cols,
+            F.col("change_type"),
+            F.col("_nlsn").alias("lsn"),
+            *[img.getField(c).alias(c) for c in data_cols],
+        )
+
     # ---- merge ------------------------------------------------------
 
     def _bucket_expr(self):

@@ -216,6 +216,67 @@ SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read (Iceberg CDF analogue): apply the 4 epochs, then ask
+    the lake for the NET delta between snapshot 2 (epochs 0–1 applied) and
+    the head — what an incremental downstream consumer applies instead of
+    replaying the stream. Only buckets whose manifest pointer changed
+    between the two snapshots are read (see ``ParquetLakeTable.
+    table_changes``). The oracle recomputes both snapshots' LWW states from
+    the raw events and diffs them."""
+    ev = _corrupt(events_from_generic_table(spark, sf_dir))
+    ev = ev.withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
+    root = _scratch_root(spark, sf_dir, "cdc_cdf")
+    staged = root + "_in"
+    ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake)
+    engine.apply_epochs(spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3])
+    return lake.table_changes(from_seq=2).select(
+        "conv_id", "turn_idx", "change_type", "lsn", "role", "text"
+    )
+
+
+_TABLE_CHANGES_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+cor AS ({_CORRUPT_SQL}),
+valid AS (SELECT * FROM cor WHERE NOT (op <> 'D' AND text IS NULL)),
+a AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid WHERE lsn % 4 <= 1
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT conv_id, turn_idx, lsn, op, role, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM valid
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+         coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+         a.lsn AS alsn, a.op AS aop, a.role AS arole, a.text AS atext,
+         b.lsn AS blsn, b.op AS bop, b.role AS brole, b.text AS btext,
+         (a.lsn IS NOT NULL AND a.op <> 'D') AS old_live,
+         (b.lsn IS NOT NULL AND b.op <> 'D') AS new_live
+  FROM a FULL OUTER JOIN b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+),
+t AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN NOT old_live AND new_live THEN 'insert'
+         WHEN old_live AND NOT new_live THEN 'delete'
+         WHEN old_live AND new_live AND blsn > alsn THEN 'update' END AS change_type,
+    blsn AS lsn,
+    CASE WHEN old_live AND NOT new_live THEN arole ELSE brole END AS role,
+    CASE WHEN old_live AND NOT new_live THEN atext ELSE btext END AS text
+  FROM j
+)
+SELECT conv_id, turn_idx, change_type, lsn, role, text
+FROM t WHERE change_type IS NOT NULL
+"""
+
+
 def q_cdc_conflict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delivery-conflict metrics cube (SURVEY §2.4: conflict counts per
     partition-dimension, built-in ``rollup``): per (epoch, op) — plus the
@@ -1444,6 +1505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_conv_rollup": q_cdc_conv_rollup,
     "cdc_quarantine_stats": q_cdc_quarantine_stats,
     "cdc_apply_e2e": q_cdc_apply_e2e,
+    "cdc_table_changes": q_cdc_table_changes,
     "cdc_apply_enriched": q_cdc_apply_enriched,
     "cdc_conflict_rollup": q_cdc_conflict_rollup,
     "extract_emails": q_extract_emails,
@@ -1480,6 +1542,7 @@ ORACLES: dict[str, str] = {
     "cdc_conv_rollup": _CONV_ROLLUP_SQL,
     "cdc_quarantine_stats": _QUARANTINE_SQL,
     "cdc_apply_e2e": _APPLY_E2E_SQL,
+    "cdc_table_changes": _TABLE_CHANGES_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,
     "extract_emails": _EXTRACT_EMAILS_SQL,
