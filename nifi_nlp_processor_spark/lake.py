@@ -191,7 +191,9 @@ class ParquetLakeTable:
         out = set()
         for f in self._commit_files():
             with open(os.path.join(self.root, "_commits", f)) as fh:
-                out.add(json.load(fh)["epoch_id"])
+                e = json.load(fh)["epoch_id"]
+            if e is not None:  # maintenance commits (compact) are not epochs
+                out.add(e)
         return out
 
     def commit_history(self) -> list[dict]:
@@ -258,6 +260,100 @@ class ParquetLakeTable:
             "removed_dirs": removed,
             "bytes_reclaimed": reclaimed,
             "retained_seqs": [c["seq"] for c in retained],
+        }
+
+    def compact(self, min_files: int = 2) -> dict:
+        """Iceberg ``rewrite_data_files`` (bin-pack compaction) analogue.
+
+        Copy-on-write at bucket granularity accretes one file set per
+        touched epoch ONLY until the next merge rewrites the bucket — but a
+        bucket that keeps winning small epochs can still fragment into many
+        small salted files, and small files are the classic lake read-path
+        killer (footer/open overhead per file, tiny row groups defeat
+        column-chunk skipping). ``compact`` rewrites every bucket whose
+        pointer currently holds ≥ ``min_files`` data files into a single
+        sorted file and publishes a MAINTENANCE commit: same epoch ledger
+        (``epoch_id: null`` — ``committed_epochs`` and exactly-once are
+        untouched), same watermarks, same logical rows (tombstones
+        included, byte-identical state), new pointers. Old snapshots still
+        time-travel until ``expire_snapshots`` reclaims them.
+
+        Buckets are rewritten through the CURRENT schema (compaction is
+        also the natural point to retire old-schema files). Returns
+        ``{buckets_compacted, files_before, files_after, seq}``."""
+        prev = self.last_commit()
+        if prev is None:
+            return {"buckets_compacted": 0, "files_before": 0, "files_after": 0, "seq": 0}
+        schema = self.current_schema()
+        full = T.StructType(
+            schema.fields
+            + [
+                T.StructField(META_LSN, T.LongType()),
+                T.StructField(META_DELETED, T.BooleanType()),
+            ]
+        )
+
+        def _files(ptr: dict) -> list[str]:
+            d = os.path.join(self.root, ptr["path"])
+            return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+        todo = {
+            b: ptr
+            for b, ptr in prev["buckets"].items()
+            if len(_files(ptr)) >= min_files
+        }
+        files_before = sum(len(_files(p)) for p in todo.values())
+        if not todo:
+            return {
+                "buckets_compacted": 0,
+                "files_before": 0,
+                "files_after": 0,
+                "seq": prev["seq"],
+            }
+        seq = prev["seq"] + 1
+        commit_dir = f"data/c{seq:08d}"
+        abs_dir = os.path.join(self.root, commit_dir)
+        df = self._read_manifest_buckets(prev, sorted(todo), full).withColumn(
+            BUCKET_COL, self._bucket_expr()
+        )
+        # one task per bucket → one output file per bucket, sorted on the
+        # merge key so row groups stay range-clustered for turn scans
+        (
+            df.repartition(len(todo), F.col(BUCKET_COL))
+            .sortWithinPartitions(*self.key_cols)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(abs_dir)
+        )
+        buckets = dict(prev["buckets"])
+        schema_name = prev["schema"]
+        for d in os.listdir(abs_dir):
+            if d.startswith(f"{BUCKET_COL}="):
+                b = d.split("=")[1]
+                buckets[b] = {"path": f"{commit_dir}/{d}", "schema": schema_name}
+        files_after = sum(
+            len(_files(buckets[b])) for b in todo
+        )
+        commit = {
+            "seq": seq,
+            "epoch_id": None,  # maintenance commit: not an epoch
+            "schema": schema_name,
+            "schema_version": prev["schema_version"],
+            "buckets": buckets,
+            "watermarks": prev.get("watermarks", {}),
+            "metrics": {
+                "maintenance": "compact",
+                "buckets_compacted": len(todo),
+                "files_before": files_before,
+                "files_after": files_after,
+            },
+        }
+        self._publish(commit)
+        return {
+            "buckets_compacted": len(todo),
+            "files_before": files_before,
+            "files_after": files_after,
+            "seq": seq,
         }
 
     def _publish(self, commit: dict) -> None:

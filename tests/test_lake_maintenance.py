@@ -116,3 +116,87 @@ def test_expire_spares_inflight_orphan(spark, lake3):
 def test_expire_keep_last_zero_rejected(lake3):
     with pytest.raises(ValueError):
         lake3.expire_snapshots(keep_last=0)
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """Three epochs over the same keys plus a delete — every touched bucket
+    accretes salted files per epoch, so compaction has real work."""
+    lake = ParquetLakeTable(spark, str(tmp_path / "clake"), n_buckets=2)
+    engine = CdcEngine(lake=lake)
+    e0 = [(f"c{i}", t, 100 + i * 10 + t, f"v0-{i}-{t}", 0) for i in range(6) for t in range(3)]
+    e1 = [(f"c{i}", 0, 300 + i, f"v1-{i}", 1) for i in range(6)]
+    engine.apply_epochs(_events(spark, e0), epoch_ids=[0])
+    engine.apply_epochs(_events(spark, e1), epoch_ids=[1])
+    # epoch 2: a delete tombstone that must survive compaction byte-for-byte
+    ev = _events(spark, [("c0", 1, 400, None, 2)]).withColumn(
+        "op", F.lit("D")
+    )
+    engine.apply_epochs(ev, epoch_ids=[2])
+    return lake
+
+
+def _bucket_file_count(lake):
+    c = lake.last_commit()
+    n = 0
+    for ptr in c["buckets"].values():
+        d = os.path.join(lake.root, ptr["path"])
+        n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    return n
+
+
+def test_compact_is_state_identical_and_shrinks_files(spark, fragmented):
+    before_live = {tuple(r) for r in fragmented.read().collect()}
+    before_raw = {
+        tuple(r) for r in fragmented.read_raw().drop("_b").collect()
+    }
+    epochs = fragmented.committed_epochs()
+    nb = _bucket_file_count(fragmented)
+    out = fragmented.compact()
+    assert out["buckets_compacted"] >= 1
+    assert out["files_after"] < out["files_before"] <= nb
+    # one file per compacted bucket
+    assert out["files_after"] == out["buckets_compacted"]
+    assert {tuple(r) for r in fragmented.read().collect()} == before_live
+    # tombstones and LSNs survive byte-identically
+    assert {
+        tuple(r) for r in fragmented.read_raw().drop("_b").collect()
+    } == before_raw
+    # the epoch ledger is untouched: a maintenance commit is not an epoch
+    assert fragmented.committed_epochs() == epochs
+
+
+def test_compact_does_not_break_exactly_once_or_later_merges(spark, fragmented):
+    fragmented.compact()
+    engine = CdcEngine(lake=fragmented)
+    # re-applying a committed epoch is still a no-op after compaction
+    m = fragmented.merge_into(
+        _events(spark, [("c0", 0, 999, "dupe", 1)]), epoch_id=1
+    )
+    assert m.skipped
+    # and a genuinely new epoch applies on top of the compacted layout
+    engine.apply_epochs(_events(spark, [("c5", 0, 500, "v3", 3)]), epoch_ids=[3])
+    got = {
+        (r.conv_id, r.turn_idx, r.text)
+        for r in fragmented.read().where(F.col("conv_id") == "c5").collect()
+    }
+    assert ("c5", 0, "v3") in got
+
+
+def test_compact_preserves_time_travel_and_changelog(spark, fragmented):
+    pre_seq = fragmented.last_commit()["seq"]
+    pre_state = {tuple(r) for r in fragmented.read().collect()}
+    fragmented.compact()
+    # time travel to the pre-compaction snapshot still works
+    assert {tuple(r) for r in fragmented.read(at_seq=pre_seq).collect()} == pre_state
+    # the changelog across a pure compaction is empty: pointers changed,
+    # rows did not
+    assert fragmented.table_changes(from_seq=pre_seq).count() == 0
+
+
+def test_compact_noop_when_nothing_fragmented(spark, fragmented):
+    fragmented.compact()
+    seq = fragmented.last_commit()["seq"]
+    out = fragmented.compact()  # everything already single-file
+    assert out["buckets_compacted"] == 0
+    assert fragmented.last_commit()["seq"] == seq  # no empty commit published
