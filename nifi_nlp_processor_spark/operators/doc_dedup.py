@@ -320,15 +320,17 @@ def connected_components(
     driver-side action per round is the changed-label count on the
     checkpointed relation. Deterministic: min() everywhere, no RNG."""
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # checkpoint the symmetric edge relation FIRST: the upstream pair
+    # pipeline (LSH + verify) can be expensive, and both the label init and
+    # every iteration read edges — one materialization, not two
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("u").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    edges = edges.localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             edges.join(
