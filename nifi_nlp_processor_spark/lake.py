@@ -11,6 +11,15 @@ parquet "mini-lake" behind one interface (SURVEY §7 M1 fallback):
   amplification exactly the way Iceberg's copy-on-write MERGE bounds it at
   file granularity, and keeps each conversation's turns co-located so the
   LWW merge shuffle partitions by the same key every epoch.
+* **Merge-on-read mode** (``merge_into(mode="mor")``) — the Iceberg
+  equality-delete analogue (the layout Flink CDC writes): an epoch's rows
+  are LWW-deduped within the batch and appended as per-bucket *delta* file
+  sets without ever reading the target, so bytes written per epoch is
+  O(batch) instead of O(touched buckets). Reads fold base+deltas through
+  the same LWW expressions the CoW merge uses (``lww_payload_order`` — one
+  definition, so staged folds provably agree with single-pass merges), and
+  ``compact()`` folds deltas back into one base file per bucket. CoW is
+  read-optimal, MoR is write-optimal; mix freely per epoch.
 * **Atomic snapshot commits** — each merge writes data files under a fresh
   commit directory, then publishes a JSON manifest via atomic ``rename``.
   The manifest is the commit point: readers only see renamed manifests, and
@@ -106,6 +115,32 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.Stru
     return T.StructType([fields[n] for n in order]), changed
 
 
+def lww_payload_order(non_key: list[str]) -> tuple:
+    """The ONE pair of (payload, order) struct expressions every LWW
+    resolution in the lake uses — the copy-on-write merge aggregation and
+    the merge-on-read read/compaction fold share these verbatim, so a row
+    set resolved in one pass (CoW) and the same rows resolved in stages
+    (MoR: batch fold at write, base+delta fold at read) pick the same
+    winner, tie-breaks included.
+
+    ``max_by(payload, order)`` beats ``max(struct(...))`` ~3× because the
+    aggregation buffer compares the small order key, not the full payload
+    (text included); the content hash keeps same-LSN ties deterministic
+    across cluster sizes, replays, and staged folds. Iterated max_by over a
+    total order is associative, which is exactly what makes the staged MoR
+    fold equal to the single-pass CoW merge."""
+    payload = F.struct(
+        F.col(META_LSN), F.col(META_DELETED), *[F.col(c) for c in non_key]
+    )
+    order = F.struct(
+        F.col(META_LSN),
+        F.col(META_DELETED),
+        # zero-arg xxhash64 is an AnalysisException (key-only schemas)
+        (F.xxhash64(*[F.col(c) for c in non_key]) if non_key else F.lit(0)).alias("_h"),
+    )
+    return payload, order
+
+
 def align(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project df onto ``schema``: missing columns become typed nulls,
     present columns are cast (the read path for old-schema data files)."""
@@ -122,6 +157,7 @@ def align(df: DataFrame, schema: T.StructType) -> DataFrame:
 @dataclass
 class MergeMetrics:
     epoch_id: int
+    mode: str = "cow"  # 'mor' merges report unknowable conflict counts as -1
     skipped: bool = False
     rows_in_batch: int = 0
     keys_in_batch: int = 0
@@ -139,6 +175,7 @@ class MergeMetrics:
     def as_dict(self) -> dict:
         return {
             "epoch_id": self.epoch_id,
+            "mode": self.mode,
             "skipped": self.skipped,
             "rows_in_batch": self.rows_in_batch,
             "keys_in_batch": self.keys_in_batch,
@@ -233,9 +270,10 @@ class ParquetLakeTable:
         commits = self.commit_history()
         retained = commits[-keep_last:]
         referenced = {
-            ptr["path"].split("/")[1]
+            part["path"].split("/")[1]
             for c in retained
             for ptr in c["buckets"].values()
+            for part in self._ptr_parts(ptr)  # base AND merge-on-read deltas
         }
         max_seq = commits[-1]["seq"] if commits else 0
         data_root = os.path.join(self.root, "data")
@@ -294,13 +332,20 @@ class ParquetLakeTable:
         )
 
         def _files(ptr: dict) -> list[str]:
-            d = os.path.join(self.root, ptr["path"])
-            return [f for f in os.listdir(d) if f.endswith(".parquet")]
+            out = []
+            for part in self._ptr_parts(ptr):
+                d = os.path.join(self.root, part["path"])
+                out.extend(f for f in os.listdir(d) if f.endswith(".parquet"))
+            return out
 
+        # a bucket qualifies on fragmentation OR on carrying merge-on-read
+        # deltas — compaction is what retires deltas and restores the
+        # read-optimal one-version-per-key layout (Iceberg: rewrite_data_files
+        # over a MoR table applies the equality deletes)
         todo = {
             b: ptr
             for b, ptr in prev["buckets"].items()
-            if len(_files(ptr)) >= min_files
+            if len(_files(ptr)) >= min_files or ptr.get("deltas")
         }
         files_before = sum(len(_files(p)) for p in todo.values())
         if not todo:
@@ -409,26 +454,9 @@ class ParquetLakeTable:
                 T.StructField(META_DELETED, T.BooleanType()),
             ]
         )
-        parts = []
-        # group bucket pointers by the schema version their files carry, so
-        # old files are read with their own schema then cast-aligned.
-        by_schema: dict[str, list[str]] = {}
-        for b, ptr in c["buckets"].items():
-            p = os.path.join(self.root, ptr["path"])
-            if not os.path.exists(p):
-                raise ValueError(
-                    f"snapshot {c['seq']} references expired data ({ptr['path']}); "
-                    "it was reclaimed by expire_snapshots"
-                )
-            by_schema.setdefault(ptr["schema"], []).append(p)
-        for sname, paths in by_schema.items():
-            with open(os.path.join(self.root, "_schema", sname)) as fh:
-                s = T.StructType.fromJson(json.load(fh))
-            df = self.spark.read.parquet(*paths)
-            parts.append(align(df, full))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        # shared delta-aware reader: old-schema files are cast-aligned, and
+        # buckets holding merge-on-read deltas are LWW-folded on the way out
+        out = self._read_manifest_buckets(c, sorted(c["buckets"]), full)
         # partitionBy writes the bucket as a directory key; recover it
         return out.withColumn(
             BUCKET_COL, F.pmod(F.xxhash64(self.bucket_key), F.lit(self.n_buckets)).cast("int")
@@ -443,31 +471,82 @@ class ParquetLakeTable:
             .drop(META_LSN, META_DELETED, BUCKET_COL)
         )
 
+    @staticmethod
+    def _ptr_parts(ptr: dict) -> list[dict]:
+        """All file-set parts a bucket pointer references: the base file
+        set plus any merge-on-read delta file sets (each carries the schema
+        version its files were written under)."""
+        return [{"path": ptr["path"], "schema": ptr["schema"]}] + list(
+            ptr.get("deltas", [])
+        )
+
+    def _lww_fold(self, df: DataFrame, full: T.StructType) -> DataFrame:
+        """Resolve multi-version rows (base + MoR deltas) to one winner per
+        merge key with the SAME payload/order expressions the CoW merge
+        aggregation uses — staged folds and the single-pass merge provably
+        agree (see ``lww_payload_order``). Partial+final aggregation,
+        map-side combine; the shuffle covers only the rows handed in
+        (delta-holding buckets), never the whole table."""
+        non_key = [
+            f.name
+            for f in full.fields
+            if f.name not in self.key_cols and f.name not in (META_LSN, META_DELETED)
+        ]
+        payload, order = lww_payload_order(non_key)
+        agg = df.groupBy(*self.key_cols).agg(F.max_by(payload, order).alias("_w"))
+        return agg.select(
+            *self.key_cols,
+            *[F.col(f"_w.{c}").alias(c) for c in non_key],
+            F.col(f"_w.{META_LSN}").alias(META_LSN),
+            F.col(f"_w.{META_DELETED}").alias(META_DELETED),
+        ).select(*[F.col(f.name) for f in full.fields])
+
     def _read_manifest_buckets(
         self, c: dict, bucket_ids: list[str], full: T.StructType
     ) -> DataFrame:
         """Rows of the listed bucket pointers of manifest ``c``, aligned to
-        ``full`` (old-schema files read with their own schema, then cast)."""
-        by_schema: dict[str, list[str]] = {}
+        ``full`` (old-schema files read with their own schema, then cast).
+
+        Buckets carrying merge-on-read deltas are LWW-folded here — the
+        read-side half of the MoR contract — while delta-free buckets pass
+        through with no shuffle at all. The fold's groupBy keys on the
+        merge key, whose bucket hash is a function of the bucket key, so a
+        row never crosses bucket boundaries during the fold."""
+        plain: dict[str, list[str]] = {}
+        delta: dict[str, list[str]] = {}
         for b in bucket_ids:
             ptr = c["buckets"].get(b)
             if ptr is None:
                 continue
-            p = os.path.join(self.root, ptr["path"])
-            if not os.path.exists(p):
-                raise ValueError(
-                    f"snapshot references expired data ({ptr['path']}); "
-                    "it was reclaimed by expire_snapshots"
-                )
-            by_schema.setdefault(ptr["schema"], []).append(p)
-        if not by_schema:
+            dest = delta if ptr.get("deltas") else plain
+            for part in self._ptr_parts(ptr):
+                p = os.path.join(self.root, part["path"])
+                if not os.path.exists(p):
+                    raise ValueError(
+                        f"snapshot references expired data ({part['path']}); "
+                        "it was reclaimed by expire_snapshots"
+                    )
+                dest.setdefault(part["schema"], []).append(p)
+
+        def _union(by_schema: dict[str, list[str]]) -> DataFrame | None:
+            parts = [
+                align(self.spark.read.parquet(*paths), full)
+                for paths in by_schema.values()
+            ]
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        out = _union(plain)
+        d = _union(delta)
+        if d is not None:
+            d = self._lww_fold(d, full)
+            out = d if out is None else out.unionByName(d)
+        if out is None:
             return self.spark.createDataFrame([], full)
-        parts = []
-        for sname, paths in by_schema.items():
-            parts.append(align(self.spark.read.parquet(*paths), full))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
         return out
 
     def table_changes(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
@@ -559,6 +638,7 @@ class ParquetLakeTable:
         lsn_col: str = "lsn",
         op_col: str = "op",
         probe_src: DataFrame | None = None,
+        mode: str = "cow",
     ) -> MergeMetrics:
         """MERGE src (one epoch's change events, may contain intra-batch
         duplicates) into the table under max-LSN LWW. Idempotent per epoch.
@@ -568,6 +648,28 @@ class ParquetLakeTable:
         ``src`` (e.g. the pre-enrichment batch, so the probe pass does not
         re-run an expensive UDF stage).
 
+        ``mode``:
+
+        * ``"cow"`` (default) — copy-on-write: touched buckets are read,
+          merged, and rewritten wholesale. Read-optimal (one version per
+          key on disk), but write amplification is O(bucket size) per
+          epoch: at 10^10 events with small, frequent epochs the merge
+          rewrites far more bytes than it ingests.
+        * ``"mor"`` — merge-on-read (Iceberg equality-delete analogue, the
+          shape Flink CDC writes): the epoch's rows are LWW-deduped
+          *within the batch only* and appended as per-bucket DELTA file
+          sets — the target is never read, so bytes written per epoch is
+          O(batch), not O(touched buckets). Readers fold base+deltas with
+          the same LWW expressions (``_read_manifest_buckets``), and
+          ``compact()`` folds deltas back into one base file per bucket.
+          Because the target is unread, per-epoch updated/inserted/
+          deleted/stale conflict counts are unknowable at write time and
+          reported as -1 (Iceberg MoR has the same limitation); the
+          authoritative counts come from ``table_changes`` or compaction.
+
+        Modes may be mixed freely on one table: a CoW merge on a bucket
+        carrying deltas reads every part and retires them.
+
         Equivalent Iceberg statement (SURVEY §4.3):
             MERGE INTO tgt USING src ON tgt.conv_id=src.conv_id AND tgt.turn_idx=src.turn_idx
             WHEN MATCHED AND src.lsn > tgt.lsn AND src.op='D' THEN UPDATE SET _deleted=true ...
@@ -575,6 +677,8 @@ class ParquetLakeTable:
             WHEN NOT MATCHED THEN INSERT *
         (tombstones retained instead of DELETE so late lower-LSN events lose).
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {mode!r} (use 'cow' or 'mor')")
         t0 = time.time()
         if epoch_id in self.committed_epochs():
             return MergeMetrics(epoch_id=epoch_id, skipped=True)
@@ -642,22 +746,29 @@ class ParquetLakeTable:
             self._publish(commit)
             return MergeMetrics(epoch_id=epoch_id)
 
+        full = T.StructType(
+            schema.fields
+            + [
+                T.StructField(META_LSN, T.LongType()),
+                T.StructField(META_DELETED, T.BooleanType()),
+            ]
+        )
+        # a delta write only makes sense against an existing table; a first
+        # merge degenerates to the (identical) single-pass path below
+        mor_delta = mode == "mor" and prev is not None
         tgt_parts = []
-        if prev:
+        if prev and not mor_delta:
             by_schema: dict[str, list[str]] = {}
             for b in touched:
                 ptr = prev["buckets"].get(str(b))
                 if ptr:
-                    by_schema.setdefault(ptr["schema"], []).append(
-                        os.path.join(self.root, ptr["path"])
-                    )
-            full = T.StructType(
-                schema.fields
-                + [
-                    T.StructField(META_LSN, T.LongType()),
-                    T.StructField(META_DELETED, T.BooleanType()),
-                ]
-            )
+                    # every part: base + any merge-on-read deltas — the LWW
+                    # aggregation below resolves them and the rewrite
+                    # retires the delta pointers for the touched buckets
+                    for part in self._ptr_parts(ptr):
+                        by_schema.setdefault(part["schema"], []).append(
+                            os.path.join(self.root, part["path"])
+                        )
             for sname, paths in by_schema.items():
                 df = self.spark.read.parquet(*paths)
                 tgt_parts.append(
@@ -672,17 +783,9 @@ class ParquetLakeTable:
         non_key = [f.name for f in schema.fields if f.name not in self.key_cols]
         # LWW: max_by(payload, (lsn, deleted, content-hash)) — partial+final
         # aggregation, map-side combine absorbs per-key duplicates
-        # (skew-safe, SURVEY §4.2 #1). max_by beats max(struct(...)) 3× here
-        # because buffer updates compare the small order key, not the full
-        # payload (text included); the content hash keeps same-LSN ties
-        # deterministic across cluster sizes and replays.
-        payload = F.struct(F.col(META_LSN), F.col(META_DELETED), *[F.col(c) for c in non_key])
-        order = F.struct(
-            F.col(META_LSN),
-            F.col(META_DELETED),
-            # zero-arg xxhash64 is an AnalysisException (key-only schemas)
-            (F.xxhash64(*[F.col(c) for c in non_key]) if non_key else F.lit(0)).alias("_h"),
-        )
+        # (skew-safe, SURVEY §4.2 #1). Expressions shared with the MoR read
+        # fold (lww_payload_order) so both paths resolve identically.
+        payload, order = lww_payload_order(non_key)
         winner = F.max_by(payload, order).alias("_w")
         flags = [
             F.max(F.when(F.col("_src"), F.col(META_LSN))).alias("_src_lsn"),
@@ -703,30 +806,39 @@ class ParquetLakeTable:
         )
 
         obs = Observation(f"merge-{epoch_id}")
-        src_won = F.col("_src_lsn").isNotNull() & (
-            F.col("_tgt_lsn").isNull() | (F.col("_src_lsn") > F.col("_tgt_lsn"))
-        )
-        out = out.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_applied"),
-            F.sum(
-                (
-                    src_won & F.col("_tgt_lsn").isNotNull() & ~F.col(META_DELETED)
-                ).cast("long")
-            ).alias("updated"),
-            F.sum((src_won & F.col("_tgt_lsn").isNull() & ~F.col(META_DELETED)).cast("long")).alias(
-                "inserted"
-            ),
-            F.sum((src_won & F.col(META_DELETED) & ~F.coalesce(F.col("_tgt_deleted"), F.lit(False))).cast("long")).alias("deleted"),
-            F.sum(
-                (
-                    F.col("_src_lsn").isNotNull()
-                    & F.col("_tgt_lsn").isNotNull()
-                    & (F.col("_src_lsn") < F.col("_tgt_lsn"))
-                ).cast("long")
-            ).alias("stale"),
-            F.max(F.col(META_LSN)).alias("max_lsn"),
-        )
+        if mor_delta:
+            # target unread → conflict classification impossible at write
+            # time; observe only the delta cardinality (metrics report -1)
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_applied"),
+                F.max(F.col(META_LSN)).alias("max_lsn"),
+            )
+        else:
+            src_won = F.col("_src_lsn").isNotNull() & (
+                F.col("_tgt_lsn").isNull() | (F.col("_src_lsn") > F.col("_tgt_lsn"))
+            )
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_applied"),
+                F.sum(
+                    (
+                        src_won & F.col("_tgt_lsn").isNotNull() & ~F.col(META_DELETED)
+                    ).cast("long")
+                ).alias("updated"),
+                F.sum((src_won & F.col("_tgt_lsn").isNull() & ~F.col(META_DELETED)).cast("long")).alias(
+                    "inserted"
+                ),
+                F.sum((src_won & F.col(META_DELETED) & ~F.coalesce(F.col("_tgt_deleted"), F.lit(False))).cast("long")).alias("deleted"),
+                F.sum(
+                    (
+                        F.col("_src_lsn").isNotNull()
+                        & F.col("_tgt_lsn").isNotNull()
+                        & (F.col("_src_lsn") < F.col("_tgt_lsn"))
+                    ).cast("long")
+                ).alias("stale"),
+                F.max(F.col(META_LSN)).alias("max_lsn"),
+            )
         final_cols = (
             [F.col(f.name) for f in schema.fields]
             + [F.col(META_LSN), F.col(META_DELETED), F.col(BUCKET_COL)]
@@ -769,17 +881,28 @@ class ParquetLakeTable:
             if d.startswith(f"{BUCKET_COL}=")
         }
         for b in present:
-            buckets[str(b)] = {"path": f"{commit_dir}/{BUCKET_COL}={b}", "schema": schema_name}
+            part = {"path": f"{commit_dir}/{BUCKET_COL}={b}", "schema": schema_name}
+            if mor_delta and str(b) in buckets:
+                # append a delta file set; the base pointer (and any earlier
+                # deltas) stay — readers fold, compact() retires
+                ptr = dict(buckets[str(b)])
+                ptr["deltas"] = list(ptr.get("deltas", [])) + [part]
+                buckets[str(b)] = ptr
+            else:
+                # CoW rewrite, or first data for this bucket (a fold of the
+                # batch alone IS the merged state when there is no base)
+                buckets[str(b)] = part
 
         metrics = MergeMetrics(
             epoch_id=epoch_id,
+            mode=mode,
             rows_in_batch=-1,  # caller may fill; avoiding an extra count job
             keys_in_batch=-1,
             rows_applied=int(m["rows_applied"]),
-            updated=int(m["updated"] or 0),
-            inserted=int(m["inserted"] or 0),
-            deleted=int(m["deleted"] or 0),
-            stale=int(m["stale"] or 0),
+            updated=int(m["updated"] or 0) if not mor_delta else -1,
+            inserted=int(m["inserted"] or 0) if not mor_delta else -1,
+            deleted=int(m["deleted"] or 0) if not mor_delta else -1,
+            stale=int(m["stale"] or 0) if not mor_delta else -1,
             buckets_touched=len(present),
             lsn_watermarks={str(b): new_watermarks[str(b)] for b in present},
             wall_sec=time.time() - t0,

@@ -216,6 +216,30 @@ SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply_e2e pipeline in merge-on-read mode (Iceberg equality-delete
+    layout): each epoch appends per-bucket LWW-deduped DELTA file sets
+    without reading the target — bytes written per epoch is O(batch), not
+    O(touched buckets) — then a mid-stream ``compact()`` folds the first two
+    epochs' deltas (``rewrite_data_files`` over equality deletes) and the
+    final read folds the rest. The oracle is the SAME global sequential LWW
+    as ``cdc_apply_e2e``: equality proves CoW and MoR are interchangeable
+    write strategies (shared ``lww_payload_order`` tie-breaks) and that
+    read-time folding + compaction preserve state bit-for-bit."""
+    ev = _corrupt(events_from_generic_table(spark, sf_dir))
+    ev = ev.withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
+    root = _scratch_root(spark, sf_dir, "cdc_mor")
+    staged = root + "_in"
+    ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake, merge_mode="mor")
+    staged_df = spark.read.parquet(staged)
+    engine.apply_epochs(staged_df, epoch_ids=[0, 1])
+    lake.compact()
+    engine.apply_epochs(staged_df, epoch_ids=[2, 3])
+    return lake.read().select("conv_id", "turn_idx", "role", "text")
+
+
 def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog read (Iceberg CDF analogue): apply the 4 epochs, then ask
     the lake for the NET delta between snapshot 2 (epochs 0–1 applied) and
@@ -1505,6 +1529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_conv_rollup": q_cdc_conv_rollup,
     "cdc_quarantine_stats": q_cdc_quarantine_stats,
     "cdc_apply_e2e": q_cdc_apply_e2e,
+    "cdc_apply_mor": q_cdc_apply_mor,
     "cdc_table_changes": q_cdc_table_changes,
     "cdc_apply_enriched": q_cdc_apply_enriched,
     "cdc_conflict_rollup": q_cdc_conflict_rollup,
@@ -1542,6 +1567,7 @@ ORACLES: dict[str, str] = {
     "cdc_conv_rollup": _CONV_ROLLUP_SQL,
     "cdc_quarantine_stats": _QUARANTINE_SQL,
     "cdc_apply_e2e": _APPLY_E2E_SQL,
+    "cdc_apply_mor": _APPLY_E2E_SQL,
     "cdc_table_changes": _TABLE_CHANGES_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,

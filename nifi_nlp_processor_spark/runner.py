@@ -48,6 +48,10 @@ class CdcEngine:
     quarantine_dir: str | None = None
     enrich: Callable[[DataFrame], DataFrame] | None = None
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    # "cow" rewrites touched buckets per epoch (read-optimal); "mor" appends
+    # per-bucket LWW-deduped deltas without reading the target
+    # (write-optimal — O(batch) bytes/epoch; see lake.merge_into)
+    merge_mode: str = "cow"
     results: list[EpochResult] = field(default_factory=list)
 
     def apply_epoch(self, batch: DataFrame, epoch_id: int) -> EpochResult:
@@ -83,7 +87,9 @@ class CdcEngine:
         # max_by it uses against the target — a standalone lww_dedupe here
         # would add a second full shuffle per epoch for nothing (the
         # operator remains available for standalone use).
-        metrics = self.lake.merge_into(valid, epoch_id, probe_src=probe_src)
+        metrics = self.lake.merge_into(
+            valid, epoch_id, probe_src=probe_src, mode=self.merge_mode
+        )
         res = EpochResult(epoch_id=epoch_id, merge=metrics, quarantined=n_bad)
         self.results.append(res)
         return res
