@@ -126,6 +126,7 @@ def cdc_throughput(
     n_epochs: int = 4,
     n_conversations: int = 0,
     input_dir: str | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     """The identical CDC apply job at one parallelism level: apply all
     epochs of a change stream through the full engine (quarantine → LWW →
@@ -189,17 +190,27 @@ def cdc_throughput(
 
     root = tempfile.mkdtemp(prefix=f"cdc_tp_{cores}_", dir="/dev/shm")
     lake = ParquetLakeTable(spark, root, n_buckets=max(32, cores))
-    engine = CdcEngine(lake=lake)
+    engine = CdcEngine(lake=lake, merge_mode=merge_mode)
     t0 = time.time()
     engine.apply_epochs(events, epoch_ids=list(range(n_epochs)))
     wall = time.time() - t0
     final_rows = lake.read().count()
+    # data bytes the merges wrote (write amplification: CoW rewrites touched
+    # buckets, MoR appends only the per-epoch deltas)
+    bytes_written = 0
+    for dirpath, _dirs, files in os.walk(os.path.join(root, "data")):
+        bytes_written += sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for f in files if f.endswith(".parquet")
+        )
     return {
         "cores": cores,
         "events": n_events,
         "wall_sec": round(wall, 3),
         "events_per_sec": round(n_events / wall, 1),
         "final_rows": final_rows,
+        "merge_mode": merge_mode,
+        "bytes_written": bytes_written,
         "epochs": n_epochs,
         "epoch_walls": [
             {
@@ -518,12 +529,16 @@ def main() -> None:
                     help="k for the N→kN scaling span (8 gives the 2→16 curve point)")
     ap.add_argument("--scaling-trials", type=int, default=3,
                     help="interleaved best-of-K trials per level")
+    ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
+                    help="lake write strategy for throughput mode "
+                         "(cow rewrites touched buckets; mor appends deltas)")
     args = ap.parse_args()
 
     if args.cdc_throughput:
         print(json.dumps(cdc_throughput(
             args.sf_dir, args.cores, n_epochs=args.epochs,
             n_conversations=args.conversations, input_dir=args.input_dir,
+            merge_mode=args.merge_mode,
         )))
     elif args.scaling:
         print(json.dumps(run_scaling(

@@ -40,6 +40,8 @@ class EpochResult:
     epoch_id: int
     merge: MergeMetrics
     quarantined: int = 0
+    # set when this epoch tripped the auto-compaction threshold
+    compacted: dict | None = None
 
 
 @dataclass
@@ -52,6 +54,13 @@ class CdcEngine:
     # per-bucket LWW-deduped deltas without reading the target
     # (write-optimal — O(batch) bytes/epoch; see lake.merge_into)
     merge_mode: str = "cow"
+    # MoR deltas accumulate until compaction and the read-time fold scans
+    # every delta in a bucket's chain; with a threshold set, the engine
+    # compacts as soon as any bucket's chain reaches it, so read cost stays
+    # bounded without an external maintenance scheduler (Iceberg analogue:
+    # commit.manifest.min-count-to-merge-style inline maintenance).
+    # None = manual compaction only.
+    auto_compact_deltas: int | None = None
     results: list[EpochResult] = field(default_factory=list)
 
     def apply_epoch(self, batch: DataFrame, epoch_id: int) -> EpochResult:
@@ -91,6 +100,13 @@ class CdcEngine:
             valid, epoch_id, probe_src=probe_src, mode=self.merge_mode
         )
         res = EpochResult(epoch_id=epoch_id, merge=metrics, quarantined=n_bad)
+        if self.auto_compact_deltas is not None and not metrics.skipped:
+            ptrs = self.lake.last_commit()["buckets"]
+            if any(
+                len(p.get("deltas", [])) >= self.auto_compact_deltas
+                for p in ptrs.values()
+            ):
+                res.compacted = self.lake.compact()
         self.results.append(res)
         return res
 

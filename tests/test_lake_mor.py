@@ -227,6 +227,65 @@ def test_expire_keeps_delta_dirs(spark, tmp_path):
     assert _raw_state(lake) == before
 
 
+def test_auto_compaction_bounds_delta_chains(spark, tmp_path):
+    # same key updated across 5 MoR epochs with auto_compact_deltas=2: no
+    # committed manifest may ever carry a chain of ≥3 deltas, and the final
+    # state must still be the max-LSN winner
+    lake = ParquetLakeTable(spark, str(tmp_path / "l"), n_buckets=2)
+    engine = CdcEngine(lake=lake, merge_mode="mor", auto_compact_deltas=2)
+    for e in range(5):
+        ev = _events(spark, [("hot", 0, 100 + e, "U", f"v{e}", e)]).drop("epoch_id")
+        engine.apply_epoch(ev, e)
+    for c in lake.commit_history():
+        assert all(len(p.get("deltas", [])) <= 2 for p in c["buckets"].values())
+    assert any(r.compacted for r in engine.results)
+    rows = lake.read().collect()
+    assert [(r.conv_id, r.turn_idx, r.text) for r in rows] == [("hot", 0, "v4")]
+    # exactly-once ledger intact through the interleaved maintenance commits
+    assert lake.committed_epochs() == {0, 1, 2, 3, 4}
+
+
+def test_stream_apply_mor_checkpoint_resume(spark, tmp_path):
+    """Structured Streaming delivery in MoR mode with a mid-stream restart:
+    the checkpoint re-delivers, the epoch ledger dedupes, delta appends
+    accumulate across the restart, and the final folded state equals the
+    sequential oracle."""
+    from nifi_nlp_processor_spark.fixtures import ChangeStreamSpec, change_events
+    from nifi_nlp_processor_spark.oracle import final_rows
+    from nifi_nlp_processor_spark.runner import stream_apply
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    spec = ChangeStreamSpec(
+        n_conversations=25, update_frac=0.3, update2_frac=0.1, delete_frac=0.2,
+        dup_frac=0.1, out_of_order=True, n_epochs=4,
+    )
+    events = change_events(spark, spec).cache()
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    lake = ParquetLakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+
+    def _write(epochs):
+        for e in epochs:
+            (events.where(F.col("epoch_id") == e).coalesce(1)
+             .write.mode("append").parquet(src))
+
+    _write([0, 1])
+    engine = CdcEngine(lake=lake, merge_mode="mor")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream_apply(engine, stream, ckpt).awaitTermination(120)
+    assert any(p.get("deltas") for p in _ptrs(lake).values())
+
+    _write([2, 3])
+    engine2 = CdcEngine(lake=lake, merge_mode="mor")
+    stream2 = (spark.readStream.schema(events.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    stream_apply(engine2, stream2, ckpt).awaitTermination(120)
+
+    got = sorted(tuple(r) for r in lake.read().select(*cols).collect())
+    assert got == final_rows([r.asDict() for r in events.collect()], cols)
+    events.unpersist()
+
+
 def test_table_changes_over_mor_commits(spark, tmp_path):
     lake = _build(spark, str(tmp_path / "l"), "mor")
     # seq 2 = epochs 0-1 applied; head = all 3. The changelog must fold
