@@ -203,13 +203,44 @@ class ParquetLakeTable:
         bucket_key: str = "conv_id",
         n_buckets: int = 32,
     ):
+        """``key_cols``/``bucket_key``/``n_buckets`` are CREATION-time
+        properties. They are persisted in ``_table.json`` next to the data
+        (the Iceberg analogue: the partition spec lives in table metadata,
+        not in reader code), and re-opening an existing root ADOPTS the
+        stored values — otherwise a second writer opened with a different
+        bucket count would route a key's new rows to a different bucket
+        than its history lives in, and the per-bucket merge would silently
+        duplicate the key. Change the layout via ``rebucket``, never via
+        constructor args."""
         self.spark = spark
         self.root = root
-        self.key_cols = list(key_cols)
-        self.bucket_key = bucket_key
-        self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "_schema"), exist_ok=True)
+        props_path = os.path.join(root, "_table.json")
+        if os.path.exists(props_path):
+            with open(props_path) as fh:
+                props = json.load(fh)
+            self.key_cols = list(props["key_cols"])
+            self.bucket_key = props["bucket_key"]
+            self.n_buckets = int(props["n_buckets"])
+        else:
+            self.key_cols = list(key_cols)
+            self.bucket_key = bucket_key
+            self.n_buckets = n_buckets
+            self._write_props()
+
+    def _write_props(self) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".tmp-props-")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(
+                {
+                    "key_cols": self.key_cols,
+                    "bucket_key": self.bucket_key,
+                    "n_buckets": self.n_buckets,
+                },
+                fh,
+            )
+        os.rename(tmp, os.path.join(self.root, "_table.json"))
 
     # ---- commit log -------------------------------------------------
 
@@ -399,6 +430,102 @@ class ParquetLakeTable:
             "files_before": files_before,
             "files_after": files_after,
             "seq": seq,
+        }
+
+    def rebucket(self, n_buckets: int) -> dict:
+        """Bucket-layout evolution (the Iceberg partition-spec-evolution
+        analogue): rewrite the live table under a new bucket count in ONE
+        maintenance commit. At 10^10 events the right bucket count grows
+        with the table — a layout fixed at creation eventually leaves each
+        bucket too large for a task (or too few buckets to spread across
+        the cluster). The rewrite is a single shuffle of the current
+        snapshot (deltas are folded on the way through); the exactly-once
+        epoch ledger is untouched (``epoch_id: null``), per-bucket LSN
+        watermarks are recomputed under the new layout from the rewritten
+        rows (provably equal to the old maxima, regrouped — every key's
+        stored winner carries the max LSN applied to it), and old snapshots
+        keep time-traveling under their own layout because bucket pointers
+        are path-based. A ``table_changes`` diff that crosses a rebucket
+        boundary sees every pointer changed and falls back to a full-scan
+        diff — correct, just unpruned (documented trade).
+
+        Returns ``{seq, n_buckets_before, n_buckets_after, rows}``."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        prev = self.last_commit()
+        before = self.n_buckets
+        if prev is None or not prev["buckets"]:
+            # empty table: a pure metadata change
+            self.n_buckets = n_buckets
+            self._write_props()
+            return {
+                "seq": prev["seq"] if prev else 0,
+                "n_buckets_before": before,
+                "n_buckets_after": n_buckets,
+                "rows": 0,
+            }
+        schema = self.current_schema()
+        full = T.StructType(
+            schema.fields
+            + [
+                T.StructField(META_LSN, T.LongType()),
+                T.StructField(META_DELETED, T.BooleanType()),
+            ]
+        )
+        df = self._read_manifest_buckets(prev, sorted(prev["buckets"]), full)
+        new_bucket = F.pmod(F.xxhash64(self.bucket_key), F.lit(n_buckets)).cast("int")
+        df = df.withColumn(BUCKET_COL, new_bucket)
+        obs = Observation("rebucket")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        seq = prev["seq"] + 1
+        commit_dir = f"data/c{seq:08d}"
+        abs_dir = os.path.join(self.root, commit_dir)
+        salt = F.pmod(F.xxhash64(*self.key_cols), F.lit(WRITE_SALT))
+        (
+            df.repartition(n_buckets * WRITE_SALT, F.col(BUCKET_COL), salt)
+            .sortWithinPartitions(*self.key_cols)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(abs_dir)
+        )
+        # per-bucket watermarks under the new layout, from the written
+        # rows: tombstones included, ≤ n_buckets rows to the driver
+        wm_rows = (
+            self.spark.read.parquet(abs_dir)
+            .withColumn(BUCKET_COL, new_bucket)
+            .groupBy(BUCKET_COL)
+            .agg(F.max(META_LSN).alias("wm"))
+            .collect()
+        )
+        watermarks = {str(r[0]): int(r[1]) for r in wm_rows}
+        buckets = {}
+        for d in os.listdir(abs_dir):
+            if d.startswith(f"{BUCKET_COL}="):
+                b = d.split("=")[1]
+                buckets[b] = {"path": f"{commit_dir}/{d}", "schema": prev["schema"]}
+        n_rows = int(obs.get["rows"])
+        commit = {
+            "seq": seq,
+            "epoch_id": None,  # maintenance commit: not an epoch
+            "schema": prev["schema"],
+            "schema_version": prev["schema_version"],
+            "buckets": buckets,
+            "watermarks": watermarks,
+            "metrics": {
+                "maintenance": "rebucket",
+                "n_buckets_before": before,
+                "n_buckets_after": n_buckets,
+                "rows": n_rows,
+            },
+        }
+        self._publish(commit)
+        self.n_buckets = n_buckets
+        self._write_props()
+        return {
+            "seq": seq,
+            "n_buckets_before": before,
+            "n_buckets_after": n_buckets,
+            "rows": n_rows,
         }
 
     def _publish(self, commit: dict) -> None:

@@ -240,6 +240,32 @@ def q_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lake.read().select("conv_id", "turn_idx", "role", "text")
 
 
+def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout evolution mid-stream (Iceberg partition-spec evolution
+    analogue): apply two epochs under an 8-bucket layout, ``rebucket`` to
+    32 as one maintenance commit — the growth path a 10^10-event table
+    takes as fixed creation-time layouts stop fitting the cluster — then
+    apply two more epochs, which must route under the NEW layout adopted
+    from the persisted table metadata. Same sequential-LWW oracle as
+    ``cdc_apply_e2e``: equality proves the rewrite moved every key to its
+    new bucket without losing, duplicating, or mis-merging any of them."""
+    ev = _corrupt(events_from_generic_table(spark, sf_dir))
+    ev = ev.withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
+    root = _scratch_root(spark, sf_dir, "cdc_rb")
+    staged = root + "_in"
+    ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=8)
+    engine = CdcEngine(lake=lake)
+    staged_df = spark.read.parquet(staged)
+    engine.apply_epochs(staged_df, epoch_ids=[0, 1])
+    lake.rebucket(32)
+    # fresh handle proves the new layout comes from table metadata, not
+    # from the writer that happened to call rebucket
+    engine2 = CdcEngine(lake=ParquetLakeTable(spark, root))
+    engine2.apply_epochs(staged_df, epoch_ids=[2, 3])
+    return engine2.lake.read().select("conv_id", "turn_idx", "role", "text")
+
+
 def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog read (Iceberg CDF analogue): apply the 4 epochs, then ask
     the lake for the NET delta between snapshot 2 (epochs 0–1 applied) and
@@ -1530,6 +1556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_quarantine_stats": q_cdc_quarantine_stats,
     "cdc_apply_e2e": q_cdc_apply_e2e,
     "cdc_apply_mor": q_cdc_apply_mor,
+    "cdc_rebucket": q_cdc_rebucket,
     "cdc_table_changes": q_cdc_table_changes,
     "cdc_apply_enriched": q_cdc_apply_enriched,
     "cdc_conflict_rollup": q_cdc_conflict_rollup,
@@ -1568,6 +1595,7 @@ ORACLES: dict[str, str] = {
     "cdc_quarantine_stats": _QUARANTINE_SQL,
     "cdc_apply_e2e": _APPLY_E2E_SQL,
     "cdc_apply_mor": _APPLY_E2E_SQL,
+    "cdc_rebucket": _APPLY_E2E_SQL,
     "cdc_table_changes": _TABLE_CHANGES_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,
