@@ -53,6 +53,8 @@ from nifi_nlp_processor_spark.operators.doc_dedup import (
     shingles,
     simhash,
     simhash_near_pairs,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
 )
 from nifi_nlp_processor_spark.operators.cdc_lww import lww_dedupe, salted_lww_dedupe
 from nifi_nlp_processor_spark.operators.quarantine import split_valid
@@ -1013,6 +1015,67 @@ SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection via winnowing fingerprints (MOSS): every
+    doc_id % 10 == 0 document spawns a PLAGIARIST (doc_id + 2000000) that
+    copies its first 120 characters and continues with vowel/space-
+    translated gibberish (so ONLY the prefix is a shared passage — and the
+    tails stay unique per doc, no cross-plagiarist matches). Whole-doc
+    sketches dilute a 120-char overlap away; winnowing's coverage theorem
+    guarantees shared fingerprints for any common substring ≥ k+w-1 = 11
+    chars. Pure-codegen sketching (no UDF, no explode until the tiny
+    sketch index), DF-capped inverted-index join (stop-fingerprint guard),
+    count of shared fingerprints per pair. Oracle: the same winnow
+    (window-min over position-indexed md5_32 k-gram hashes) in SQL."""
+    docs = _sample_docs(spark, sf_dir).select("doc_id", "text")
+    frag = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 120),
+            F.translate(F.expr("substring(text, 121, 400)"), "aeiou ", "01234_"),
+        ).alias("text"),
+    )
+    sk = winnow_fingerprints(
+        docs.unionByName(frag), k=8, window=4, hash_fn="md5_32"
+    )
+    return winnow_overlap_pairs(sk, min_shared=3, max_doc_freq=5)
+
+
+_WINNOW_SQL = """
+WITH dd AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, 120) ||
+         translate(substr(text, 121, 400), 'aeiou ', '01234_') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+t AS (SELECT doc_id, lower(text) AS t FROM dd WHERE length(lower(text)) >= 11),
+pos AS (SELECT doc_id, t, unnest(range(length(t) - 7)) AS i FROM t),
+g AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(substr(t, i + 1, 8)), 1, 8)) AS BIGINT) AS h
+  FROM pos
+),
+m AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         max(i) OVER (PARTITION BY doc_id) AS maxi
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, mh FROM m WHERE i <= maxi - 3),
+freq AS (SELECT mh, count(*) AS df FROM sel GROUP BY 1),
+kept AS (SELECT s.doc_id, s.mh FROM sel s JOIN freq USING (mh) WHERE df <= 5),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_shared FROM p WHERE n_shared >= 3
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: the full LSH pipeline's verified pairs
     resolved to connected components (min-label propagation + pointer
@@ -1573,6 +1636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "winnow_overlap": q_winnow_overlap,
     "dedup_simhash": q_dedup_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1612,6 +1676,7 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard_pairs": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "winnow_overlap": _WINNOW_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
     "ann_cosine_topk": _ANN_SQL,
