@@ -223,10 +223,12 @@ class ParquetLakeTable:
             self.key_cols = list(props["key_cols"])
             self.bucket_key = props["bucket_key"]
             self.n_buckets = int(props["n_buckets"])
+            self.extra_props = dict(props.get("extra", {}))
         else:
             self.key_cols = list(key_cols)
             self.bucket_key = bucket_key
             self.n_buckets = n_buckets
+            self.extra_props = {}
             self._write_props()
 
     def _write_props(self) -> None:
@@ -237,10 +239,18 @@ class ParquetLakeTable:
                     "key_cols": self.key_cols,
                     "bucket_key": self.bucket_key,
                     "n_buckets": self.n_buckets,
+                    "extra": self.extra_props,
                 },
                 fh,
             )
         os.rename(tmp, os.path.join(self.root, "_table.json"))
+
+    def set_extra_prop(self, key: str, value) -> None:
+        """Persist an engine-level table property (Iceberg table-properties
+        analogue) — e.g. the bootstrap LSN cutover — atomically alongside
+        the layout, so any writer reopening the root adopts it."""
+        self.extra_props[key] = value
+        self._write_props()
 
     # ---- commit log -------------------------------------------------
 

@@ -38,6 +38,7 @@ operators supply it Spark-first, all as declarative DataFrame plans
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -561,10 +562,17 @@ def winnow_overlap_pairs(
     ``max_doc_freq`` is the same stop-fingerprint guard as the shingle
     DF-cap (boilerplate passages land in every crawl document and would
     contribute df² join rows); drops are Observation-logged, never
-    silent."""
+    silent.
+
+    The exploded index is persisted (memory-with-disk-spill) before use:
+    it has up to four consumers (both self-join sides × the DF-frequency
+    branch under each) and without persistence every one replays the full
+    sketch computation from the raw text scan — at corpus scale that is
+    sketching the corpus 4×. The persisted index is (id, 8-byte
+    fingerprint) rows — a small fraction of text size."""
     sel = sketches.select(
         F.col(id_col), F.explode("fingerprints").alias("fp")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if max_doc_freq is not None:
         freq = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
         if df_observation is not None:

@@ -268,6 +268,45 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine2.lake.read().select("conv_id", "turn_idx", "role", "text")
 
 
+def q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-then-stream cutover (the Debezium initial-load handoff): a
+    consistent snapshot as of mid-stream LSN W — live rows only, no lsn/op
+    columns — is bootstrapped into an empty lake, then the FULL change
+    stream (all 4 epochs, total overlap with the snapshot) is tailed. The
+    persisted cutover drops events with lsn <= W; events above it win LWW
+    against the snapshot stamp. Oracle: the global sequential LWW over all
+    events — equality proves snapshot + overlapping tail converge to the
+    same state as replaying history from the beginning, including the
+    delete-before-snapshot case where a stale event would re-insert a row
+    the snapshot never carried a tombstone for."""
+    ev = events_from_generic_table(spark, sf_dir)
+    # mid-stream cutover; 1-row bounded collect
+    w = int(ev.agg(F.floor(F.max("lsn") / 2).cast("long")).first()[0])
+    snap = lww_dedupe(ev.where(F.col("lsn") <= w), ["conv_id", "turn_idx"])
+    snap = snap.where(F.col("op") != "D").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    tail = ev.withColumn("epoch_id", (F.col("lsn") % 4).cast("long"))
+    root = _scratch_root(spark, sf_dir, "cdc_boot")
+    staged = root + "_in"
+    tail.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake)
+    engine.bootstrap(snap, as_of_lsn=w, epoch_id=100)
+    engine.apply_epochs(spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3])
+    return lake.read().select("conv_id", "turn_idx", "role", "text")
+
+
+_BOOTSTRAP_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog read (Iceberg CDF analogue): apply the 4 epochs, then ask
     the lake for the NET delta between snapshot 2 (epochs 0–1 applied) and
@@ -1620,6 +1659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_e2e": q_cdc_apply_e2e,
     "cdc_apply_mor": q_cdc_apply_mor,
     "cdc_rebucket": q_cdc_rebucket,
+    "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
     "cdc_table_changes": q_cdc_table_changes,
     "cdc_apply_enriched": q_cdc_apply_enriched,
     "cdc_conflict_rollup": q_cdc_conflict_rollup,
@@ -1660,6 +1700,7 @@ ORACLES: dict[str, str] = {
     "cdc_apply_e2e": _APPLY_E2E_SQL,
     "cdc_apply_mor": _APPLY_E2E_SQL,
     "cdc_rebucket": _APPLY_E2E_SQL,
+    "cdc_bootstrap_handoff": _BOOTSTRAP_SQL,
     "cdc_table_changes": _TABLE_CHANGES_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,

@@ -71,6 +71,16 @@ class CdcEngine:
             return res
 
         valid, bad = split_valid(batch, list(self.key_cols))
+        # Snapshot-cutover filter: after a bootstrap, every event at or
+        # below the snapshot LSN is already reflected in the loaded state
+        # and MUST be dropped — LWW alone cannot save the one bad case: a
+        # key deleted BEFORE the snapshot has no tombstone in it (the
+        # snapshot is live rows only), so a stale lsn<=W event for that key
+        # would re-insert it. Reading the cutover from persisted table
+        # props means a restarted engine on the same root enforces it too.
+        cutover = self.lake.extra_props.get("bootstrap_lsn")
+        if cutover is not None:
+            valid = valid.where(F.col("lsn") > int(cutover))
         n_bad = 0
         if self.quarantine_dir is not None:
             # DLQ append (REL_FAILURE analogue). Counted via the write.
@@ -107,6 +117,41 @@ class CdcEngine:
                 for p in ptrs.values()
             ):
                 res.compacted = self.lake.compact()
+        self.results.append(res)
+        return res
+
+    def bootstrap(
+        self, snapshot: DataFrame, as_of_lsn: int, epoch_id: int = -1
+    ) -> EpochResult:
+        """Initial-load handoff (Debezium's snapshot-then-stream cutover):
+        load a consistent point-in-time snapshot — plain table state with
+        NO lsn/op columns, consistent as of ``as_of_lsn`` — into an empty
+        lake, then tail the change stream from any point at or before the
+        snapshot with full overlap tolerance.
+
+        Every snapshot row is stamped ``lsn = as_of_lsn, op = 'I'``; the
+        cutover is persisted in the table properties and ``apply_epoch``
+        thereafter drops events with ``lsn <= as_of_lsn`` (see the comment
+        there for why the filter is required for correctness, not an
+        optimization). Tail events above the cutover win LWW against the
+        snapshot stamp as usual. The snapshot load is itself one idempotent
+        epoch: O(snapshot) bytes written once, shuffled only on the bucket
+        key — at 10^10 events this replaces replaying the entire history.
+
+        ``epoch_id`` defaults to -1: streaming batch ids count up from 0,
+        so the snapshot's ledger entry can never collide with (and silently
+        swallow) the tail's first micro-batch.
+        """
+        if self.lake.committed_epochs():
+            raise ValueError("bootstrap requires an empty lake (no committed epochs)")
+        if self.lake.extra_props.get("bootstrap_lsn") is not None:
+            raise ValueError("lake is already bootstrapped")
+        src = snapshot.withColumn(
+            "lsn", F.lit(int(as_of_lsn)).cast("long")
+        ).withColumn("op", F.lit("I"))
+        metrics = self.lake.merge_into(src, epoch_id, mode=self.merge_mode)
+        self.lake.set_extra_prop("bootstrap_lsn", int(as_of_lsn))
+        res = EpochResult(epoch_id=epoch_id, merge=metrics)
         self.results.append(res)
         return res
 
