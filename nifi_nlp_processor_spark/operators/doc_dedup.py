@@ -119,6 +119,36 @@ def minhash_signatures(
     return doc_shingles.groupBy(id_col).agg(*aggs)
 
 
+def lsh_buckets(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    bucket_fn: str = "xxhash64",
+) -> DataFrame:
+    """LSH banding of MinHash signatures → (id, band, bucket), one row per
+    (doc, band). This is the *bucket relation* — the persistable half of
+    LSH that the incremental index stores between batches; pairing small
+    vs big buckets is layered on top (``lsh_candidate_pairs``). Pure
+    column expressions, no shuffle of its own."""
+    hcols = [c for c in signatures.columns if c != id_col]
+    per_band = len(hcols) // bands
+    assert per_band >= 1, "more bands than hashes"
+    banded = None
+    for b in range(bands):
+        cols = hcols[b * per_band : (b + 1) * per_band]
+        if bucket_fn == "xxhash64":
+            bucket = F.xxhash64(*[F.col(c) for c in cols])
+        elif bucket_fn == "concat":
+            bucket = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        else:
+            raise ValueError(f"unknown bucket_fn {bucket_fn!r}")
+        part = signatures.select(
+            F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    return banded
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -157,22 +187,7 @@ def lsh_candidate_pairs(
     prevent. Callers needing extra recall inside mega-buckets can lower
     ``max_bucket`` risk by raising bands/hashes, or run a second LSH pass
     over the mega-bucket members only."""
-    hcols = [c for c in signatures.columns if c != id_col]
-    per_band = len(hcols) // bands
-    assert per_band >= 1, "more bands than hashes"
-    banded = None
-    for b in range(bands):
-        cols = hcols[b * per_band : (b + 1) * per_band]
-        if bucket_fn == "xxhash64":
-            bucket = F.xxhash64(*[F.col(c) for c in cols])
-        elif bucket_fn == "concat":
-            bucket = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-        else:
-            raise ValueError(f"unknown bucket_fn {bucket_fn!r}")
-        part = signatures.select(
-            F.col(id_col), F.lit(b).alias("band"), bucket.alias("bucket")
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    banded = lsh_buckets(signatures, bands=bands, id_col=id_col, bucket_fn=bucket_fn)
 
     stats = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")

@@ -23,6 +23,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +57,7 @@ from nifi_nlp_processor_spark.operators.doc_dedup import (
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
+from nifi_nlp_processor_spark.operators.asof import asof_join
 from nifi_nlp_processor_spark.operators.cdc_lww import lww_dedupe, salted_lww_dedupe
 from nifi_nlp_processor_spark.operators.quarantine import split_valid
 from nifi_nlp_processor_spark.operators.similarity import (
@@ -82,6 +84,11 @@ def _scratch_dir() -> str:
     return d
 
 
+# other sessions' scratch is swept only after this long untouched — long
+# enough that any live concurrent driver on the host is never raced
+_SCRATCH_TTL_SEC = 6 * 3600
+
+
 def _scratch_root(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """Deterministic per-(session, sf) scratch root for one query ``kind``.
 
@@ -89,15 +96,25 @@ def _scratch_root(spark: SparkSession, sf_dir: str, kind: str) -> str:
     per process (PYTHONHASHSEED), so the old wipe-on-re-entry only worked
     within one driver process and repeated runs accumulated lakes under
     SPARK_GRAFT_SCRATCH (tmpfs in the bench) until it filled. Every entry
-    also sweeps ALL of this kind's sibling dirs (prior driver processes,
-    plus this run's own previous dirs and their ``_in``/``_src`` suffixes),
-    so scratch stays bounded no matter how many sessions ran before."""
+    sweeps this session's OWN previous dirs for the kind (tag match, any
+    ``_in``/``_src`` suffix) unconditionally, and other sessions' dirs only
+    when STALE (mtime older than ``_SCRATCH_TTL_SEC``) — sweeping every
+    sibling eagerly deletes the live lake out from under a concurrent
+    driver on the same host (two sessions' tags differ, the kind glob
+    does not). Boundedness is preserved: dead drivers' dirs age out."""
     base = _scratch_dir()
     tag = hashlib.md5(
         f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
     ).hexdigest()[:12]
+    now = time.time()
     for p in glob.glob(os.path.join(base, f"{kind}_*")):
-        shutil.rmtree(p, ignore_errors=True)
+        mine = os.path.basename(p).startswith(f"{kind}_{tag}")
+        try:
+            stale = now - os.path.getmtime(p) > _SCRATCH_TTL_SEC
+        except OSError:
+            stale = False  # vanished mid-listing: a live concurrent sweep
+        if mine or stale:
+            shutil.rmtree(p, ignore_errors=True)
     return os.path.join(base, f"{kind}_{tag}")
 
 
@@ -304,6 +321,77 @@ r AS (
   FROM changes
 )
 SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage metrics (the north star's "per-partition lineage
+    … exported as metrics"): apply 4 epochs, then surface the commit
+    ledger's conflict classification — keys updated / inserted / deleted /
+    stale per epoch. The counts are produced DISTRIBUTED, by the merge's
+    ``Observation`` aggregates (lake.py ``merge_into``), never by a second
+    pass; the ledger read here is 4 tiny dicts. The oracle independently
+    re-derives every number from the raw change stream (epoch-k source
+    winners vs the LWW state of epochs < k), so a drift in the merge's
+    conflict accounting — the kind of bug that silently corrupts ingest
+    monitoring at scale — fails the gate."""
+    ev = events_from_generic_table(spark, sf_dir).withColumn(
+        "epoch_id", (F.col("lsn") % 4).cast("long")
+    )
+    root = _scratch_root(spark, sf_dir, "cdc_lin")
+    staged = root + "_in"
+    ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake)
+    engine.apply_epochs(spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3])
+    rows = [
+        (
+            int(m["epoch_id"]),
+            int(m["updated"]),
+            int(m["inserted"]),
+            int(m["deleted"]),
+            int(m["stale"]),
+        )
+        for m in engine.lineage()
+        if m.get("epoch_id") is not None
+    ]
+    return spark.createDataFrame(
+        rows, "epoch_id long, updated long, inserted long, deleted long, stale long"
+    )
+
+
+def _lineage_epoch_sql(k: int) -> str:
+    """Oracle fragment for epoch k: classify epoch-k source keys against
+    the LWW target state of epochs < k (tombstones retained, matching the
+    lake's delete representation)."""
+    return f"""
+s{k} AS (
+  SELECT conv_id, turn_idx, max(lsn) AS src_lsn, arg_max(op, lsn) = 'D' AS src_del
+  FROM changes WHERE lsn % 4 = {k} GROUP BY 1, 2
+),
+t{k} AS (
+  SELECT conv_id, turn_idx, max(lsn) AS tgt_lsn, arg_max(op, lsn) = 'D' AS tgt_del
+  FROM changes WHERE lsn % 4 < {k} GROUP BY 1, 2
+),
+e{k} AS (
+  SELECT CAST({k} AS BIGINT) AS epoch_id,
+    sum(CASE WHEN (t.tgt_lsn IS NULL OR s.src_lsn > t.tgt_lsn)
+              AND t.tgt_lsn IS NOT NULL AND NOT s.src_del THEN 1 ELSE 0 END) AS updated,
+    sum(CASE WHEN (t.tgt_lsn IS NULL OR s.src_lsn > t.tgt_lsn)
+              AND t.tgt_lsn IS NULL AND NOT s.src_del THEN 1 ELSE 0 END) AS inserted,
+    sum(CASE WHEN (t.tgt_lsn IS NULL OR s.src_lsn > t.tgt_lsn)
+              AND s.src_del AND NOT coalesce(t.tgt_del, FALSE) THEN 1 ELSE 0 END) AS deleted,
+    sum(CASE WHEN t.tgt_lsn IS NOT NULL AND s.src_lsn < t.tgt_lsn THEN 1 ELSE 0 END) AS stale
+  FROM s{k} s LEFT JOIN t{k} t USING (conv_id, turn_idx)
+)"""
+
+
+_LINEAGE_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+{", ".join(_lineage_epoch_sql(k) for k in range(4))}
+SELECT epoch_id, CAST(updated AS BIGINT) AS updated, CAST(inserted AS BIGINT) AS inserted,
+       CAST(deleted AS BIGINT) AS deleted, CAST(stale AS BIGINT) AS stale
+FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
 """
 
 
@@ -1157,6 +1245,119 @@ FROM comp JOIN cs USING (cluster_id)
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the step that turns near-dup clusters
+    into a deduped corpus: per cluster keep the LONGEST document (the
+    standard keep-the-most-complete heuristic; ties break to the smallest
+    doc_id). One partial+final max(struct) aggregation over the cluster
+    relation — no window, no per-cluster collect — so a 10^9-doc cluster
+    table is one shuffle on cluster_id."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    lens = _docs_with_near_dups(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.length("text").alias("len")
+    )
+    return (
+        comp.join(lens, "id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("len"), (-F.col("id")).alias("neg"))).alias("_w"),
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            (-F.col("_w.neg")).alias("canonical_id"),
+            "n_members",
+        )
+    )
+
+
+_DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_MINHASH_LSH_BODY},
+pairs AS (SELECT a_id, b_id FROM j WHERE jaccard >= 0.5),
+sym AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+lens AS (SELECT doc_id, length(text) AS len FROM dd),
+ranked AS (
+  SELECT comp.cluster_id, comp.doc_id,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY lens.len DESC, comp.doc_id) AS rn
+  FROM comp JOIN lens USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_id, n_members FROM ranked WHERE rn = 1
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched incremental dedup against a PERSISTED fingerprint index
+    (``operators/incremental_dedup.py``): the near-dup corpus arrives as
+    two id-ordered batches (originals, then the planted +1000000 dups);
+    each batch is LSH-probed against the index of every earlier batch plus
+    itself, exact-verified on candidates only, and its fingerprints are
+    appended for future batches. Greedy-against-history drop policy makes
+    the kept set equal to the full-batch rule "drop b iff some a < b is a
+    verified near-dup" — which is exactly what the oracle computes in one
+    shot, so chunked ingest is proven equivalent to corpus-at-once dedup.
+    md5/concat flavor for oracle parity (xxhash64 is the scale flavor,
+    cross-checked in tests)."""
+    from nifi_nlp_processor_spark.operators.incremental_dedup import NearDupIndex
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    root = _scratch_root(spark, sf_dir, "ddidx")
+    idx = NearDupIndex(
+        spark, root, k=3, num_hashes=8, bands=4, min_jaccard=0.5, hash_fn="md5"
+    )
+    kept1 = idx.process_batch(docs.where(F.col("doc_id") < 1000000))
+    kept2 = idx.process_batch(docs.where(F.col("doc_id") >= 1000000))
+    return kept1.unionByName(kept2).select("doc_id")
+
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH {_DUP_SHINGLE_CTE},
+isig AS (
+  SELECT doc_id,
+    {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+  FROM dsh GROUP BY doc_id
+),
+ibanded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS bucket FROM isig"
+      for b in range(4)
+  )}
+),
+icand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ibanded a JOIN ibanded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+isizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+ico AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS overlap
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT ico.b_id
+  FROM ico
+  JOIN icand ON icand.a_id = ico.a_id AND icand.b_id = ico.b_id
+  JOIN isizes sa ON sa.doc_id = ico.a_id JOIN isizes sb ON sb.doc_id = ico.b_id
+  WHERE overlap * 1.0 / (sa.n + sb.n - overlap) >= 0.5
+)
+SELECT doc_id FROM dd WHERE doc_id NOT IN (SELECT b_id FROM dropped)
+"""
+
+
 def _simhash_votes_sql(src: str, bits: int = 32) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS b{b}"
@@ -1568,6 +1769,43 @@ SELECT user_id, session_start, session_end, n_events FROM r WHERE rn > 1
 """
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: every purchase event enriched with the most
+    recent prior-or-equal view event of the same user. Spark has no ASOF
+    JOIN; the operator (``operators/asof.py``) is the shuffle-once
+    union+window composition — no inequality-join pair explosion. Output
+    carries the matched view's value and the gap in whole seconds (a
+    difference, so the session-tz shift on the NTZ→timestamp cast
+    cancels); raw timestamps stay out of the hashed result. Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    ev = load(spark, sf_dir, "events")
+    l = ev.where(F.col("event_type") == "purchase")
+    r = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("rid"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(l, r, ["user_id"], "ts", ["view_value"], tie_col="rid")
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.col("view_value_right").alias("view_value"),
+        (sec("ts") - sec("ts_right")).alias("gap_sec"),
+    )
+
+
+_ASOF_SQL = """
+SELECT l.user_id, l.event_id, l.value AS purchase_value, r.value AS view_value,
+       CAST(floor(epoch(l.ts)) AS BIGINT) - CAST(floor(epoch(r.ts)) AS BIGINT) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session counting via lag window (gap > 30 min) — the event-time
     sessionization primitive of the streaming layer, batch-checkable."""
@@ -1660,6 +1898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_mor": q_cdc_apply_mor,
     "cdc_rebucket": q_cdc_rebucket,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+    "cdc_lineage": q_cdc_lineage,
     "cdc_table_changes": q_cdc_table_changes,
     "cdc_apply_enriched": q_cdc_apply_enriched,
     "cdc_conflict_rollup": q_cdc_conflict_rollup,
@@ -1676,6 +1915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
+    "dedup_incremental": q_dedup_incremental,
     "winnow_overlap": q_winnow_overlap,
     "dedup_simhash": q_dedup_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1687,6 +1928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id_pred": q_lang_id_pred,
     "multimodal_summary": q_multimodal_summary,
+    "events_asof_join": q_events_asof_join,
     "sessionize_events": q_sessionize_events,
     "sessionize_stream": q_sessionize_stream,
     "pricing_summary": q_pricing_summary,
@@ -1701,6 +1943,7 @@ ORACLES: dict[str, str] = {
     "cdc_apply_mor": _APPLY_E2E_SQL,
     "cdc_rebucket": _APPLY_E2E_SQL,
     "cdc_bootstrap_handoff": _BOOTSTRAP_SQL,
+    "cdc_lineage": _LINEAGE_SQL,
     "cdc_table_changes": _TABLE_CHANGES_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,
@@ -1717,6 +1960,8 @@ ORACLES: dict[str, str] = {
     "dedup_jaccard_pairs": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_canonical": _DEDUP_CANONICAL_SQL,
+    "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "winnow_overlap": _WINNOW_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "simhash_near_pairs": _SIMHASH_PAIRS_SQL,
@@ -1728,6 +1973,7 @@ ORACLES: dict[str, str] = {
     "token_count_by_lang": _TOKEN_COUNT_SQL,
     "lang_id_pred": _LANG_ID_SQL,
     "multimodal_summary": _MULTIMODAL_SQL,
+    "events_asof_join": _ASOF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "sessionize_stream": _SESSIONIZE_STREAM_SQL,
     "pricing_summary": _PRICING_SQL,
