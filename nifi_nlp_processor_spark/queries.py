@@ -324,6 +324,36 @@ SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 change-event source driven END-TO-END through Structured
+    Streaming: the staged change stream is tailed with a file source
+    (``maxFilesPerTrigger`` forces multiple micro-batches, so several
+    foreachBatch epochs commit through the ledger), applied via
+    ``stream_apply`` (checkpoint + exactly-once epoch manifests), then the
+    final lake state is oracle-checked against the global sequential LWW.
+    Micro-batch boundaries are arbitrary file groupings — NOT the lsn%4
+    epochs of the batch queries — which is the point: convergence must not
+    depend on how the stream was chunked."""
+    from nifi_nlp_processor_spark.runner import managed_stream
+
+    ev = events_from_generic_table(spark, sf_dir)
+    root = _scratch_root(spark, sf_dir, "cdc_sa")
+    staged = root + "_in"
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(staged)
+    )
+    with managed_stream(engine, stream, root + "_ckpt") as q:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming apply did not drain in 300 s")
+    return lake.read().select("conv_id", "turn_idx", "role", "text")
+
+
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-epoch lineage metrics (the north star's "per-partition lineage
     … exported as metrics"): apply 4 epochs, then surface the commit
@@ -1898,6 +1928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_mor": q_cdc_apply_mor,
     "cdc_rebucket": q_cdc_rebucket,
     "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+    "cdc_stream_apply": q_cdc_stream_apply,
     "cdc_lineage": q_cdc_lineage,
     "cdc_table_changes": q_cdc_table_changes,
     "cdc_apply_enriched": q_cdc_apply_enriched,
@@ -1943,6 +1974,7 @@ ORACLES: dict[str, str] = {
     "cdc_apply_mor": _APPLY_E2E_SQL,
     "cdc_rebucket": _APPLY_E2E_SQL,
     "cdc_bootstrap_handoff": _BOOTSTRAP_SQL,
+    "cdc_stream_apply": _BOOTSTRAP_SQL,
     "cdc_lineage": _LINEAGE_SQL,
     "cdc_table_changes": _TABLE_CHANGES_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,

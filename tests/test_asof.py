@@ -99,6 +99,24 @@ def test_tolerance_nulls_distant_matches(spark):
     assert got[("a", _ts(100))] == (None, None)      # 97s gap, nulled
 
 
+def test_plan_has_window_and_no_join(spark):
+    """The operator's whole point at scale: one shuffle + window, never an
+    inequality join (O(|L|·|R|) per key) — assert it structurally."""
+    l, r = _frames(
+        spark,
+        [("a", _ts(10), 1)],
+        [("a", _ts(5), 100, 0.5)],
+    )
+    plan = (
+        asof_join(l, r, ["k"], "ts", ["rv"], tie_col="rid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "Join" not in plan  # no SortMergeJoin/BroadcastNestedLoopJoin/...
+
+
 def test_matches_pandas_merge_asof_randomized(spark):
     rng = np.random.default_rng(7)
     n_l, n_r = 400, 300
