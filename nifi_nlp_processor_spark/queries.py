@@ -1703,6 +1703,164 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# corpus-cleaning fixtures: the parquet documents are single-line word
+# streams, so multi-line web pages are synthesized deterministically —
+# a newsletter header on every even doc, a copyright footer on every
+# doc_id % 3 == 0 doc (concat_ws skips the NULL pieces on both engines)
+_HDR = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+_FTR = "copyright example corp all rights reserved"
+
+
+def _docs_with_boiler_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_HDR)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_FTR)),
+        ).alias("text"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: lines occurring in >= 10 distinct
+    documents (the planted header/footer; natural exact-dup bodies stay
+    below the threshold) are stripped, per-doc text reassembled in line
+    order. The frequent-line set is tiny by construction and broadcast —
+    the corpus is never self-joined (functions/quality.py docstring)."""
+    from nifi_nlp_processor_spark.functions.quality import boilerplate_line_dedup
+
+    return boilerplate_line_dedup(
+        _docs_with_boiler_lines(spark, sf_dir), min_doc_freq=10
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN doc_id % 2 = 0 THEN '{_HDR}' END,
+    text,
+    CASE WHEN doc_id % 3 = 0 THEN '{_FTR}' END) AS text
+  FROM documents
+),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM l0),
+f AS (
+  SELECT k FROM (
+    SELECT trim(line) AS k, count(DISTINCT doc_id) AS c FROM l GROUP BY 1
+  ) WHERE c >= 10
+),
+j AS (
+  SELECT l.doc_id, l.pos, l.line, (f.k IS NOT NULL) AS boiler
+  FROM l LEFT JOIN f ON trim(l.line) = f.k
+)
+SELECT doc_id,
+  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT boiler), '') AS clean_text,
+  count(*) AS n_lines,
+  count(*) FILTER (WHERE boiler) AS n_removed
+FROM j GROUP BY doc_id
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules; every doc_id % 7 == 0 doc has
+    a planted spam run so the repetitive class is non-empty (the synthetic
+    corpus is otherwise near-uniform word soup)."""
+    from nifi_nlp_processor_spark.functions.quality import repetition_stats
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" spam" * 40)),
+        ).otherwise(F.col("text")),
+    )
+    return repetition_stats(docs)
+
+
+_REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || repeat(' spam', 40) ELSE text END AS text
+  FROM documents
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+b AS (
+  SELECT doc_id, len(w) AS n_words,
+    round(len(list_distinct(w)) * 1.0 / len(w), 6) AS dwf
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(w) AS g, generate_subscripts(w, 1) AS pos FROM t),
+wcnt AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+twf AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS twf FROM wcnt GROUP BY doc_id),
+bg0 AS (
+  SELECT doc_id, g || ' ' || lead(g) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM tok
+),
+bcnt AS (SELECT doc_id, bg, count(*) AS c FROM bg0 WHERE bg IS NOT NULL GROUP BY 1, 2),
+tbf AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS tbf FROM bcnt GROUP BY doc_id)
+SELECT b.doc_id, n_words,
+  dwf AS distinct_word_frac,
+  round(twf, 6) AS top_word_frac,
+  round(coalesce(tbf, 0), 6) AS top_bigram_frac,
+  (twf > 0.10 OR coalesce(tbf, 0) > 0.05) AS is_repetitive
+FROM b LEFT JOIN twf USING (doc_id) LEFT JOIN tbf USING (doc_id)
+"""
+
+
+_PHONE_RE = r"\+(?:[0-9] ?){6,14}[0-9]"
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the removal dual of the reference's extractor
+    registry (PontusNLPProcessor.java:97-105 patterns discover PII; this
+    masks it). Deterministic emails + E.164-ish phones are stitched in so
+    the redaction is non-vacuous. Pure codegen projection, zero shuffle."""
+    from nifi_nlp_processor_spark.functions.quality import redact_pii
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com or call +44123456"),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+    out = redact_pii(docs, {"email": _EMAIL_RE, "phone": _PHONE_RE})
+    return out.select(
+        "doc_id",
+        "redacted",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
+_REDACT_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example' || (doc_id % 7) || '.com or call +44123456' || (doc_id % 100) AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+    regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g') AS t1
+  FROM d
+)
+SELECT doc_id,
+  regexp_replace(t1, '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+  CAST(n_email AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t1, '{_PHONE_RE}')) AS BIGINT) AS n_phone
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational / streaming-shaped analytics over the star schema
 # ---------------------------------------------------------------------------
@@ -1958,6 +2116,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id_pred": q_lang_id_pred,
+    "line_dedup": q_line_dedup,
+    "repetition_stats": q_repetition_stats,
+    "redact_pii": q_redact_pii,
     "multimodal_summary": q_multimodal_summary,
     "events_asof_join": q_events_asof_join,
     "sessionize_events": q_sessionize_events,
@@ -2004,6 +2165,9 @@ ORACLES: dict[str, str] = {
     "text_quality": _QUALITY_SQL,
     "token_count_by_lang": _TOKEN_COUNT_SQL,
     "lang_id_pred": _LANG_ID_SQL,
+    "line_dedup": _LINE_DEDUP_SQL,
+    "repetition_stats": _REPETITION_SQL,
+    "redact_pii": _REDACT_SQL,
     "multimodal_summary": _MULTIMODAL_SQL,
     "events_asof_join": _ASOF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
