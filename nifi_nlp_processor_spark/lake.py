@@ -686,7 +686,12 @@ class ParquetLakeTable:
             return self.spark.createDataFrame([], full)
         return out
 
-    def table_changes(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
+    def table_changes(
+        self,
+        from_seq: int,
+        to_seq: int | None = None,
+        images: str = "post",
+    ) -> DataFrame:
         """Changelog read (Iceberg CDF / ``table_changes`` analogue): the
         NET row-level delta between committed snapshot ``from_seq`` and
         ``to_seq`` (default: current head) — what a downstream incremental
@@ -698,6 +703,12 @@ class ParquetLakeTable:
 
         ``from_seq=0`` diffs against the empty table (a bootstrap read:
         every live row is an insert).
+
+        ``images="post"`` (default) emits the single relevant image as flat
+        columns; ``images="both"`` emits ``pre`` and ``post`` row-image
+        structs (NULL pre on insert, NULL post on delete) — the contract
+        incremental aggregate maintenance consumes (operators/
+        incremental_rollup.py).
 
         Scale shape: the manifests are diffed first and only buckets whose
         pointer CHANGED between the two snapshots are read on either side —
@@ -753,6 +764,20 @@ class ParquetLakeTable:
             .when(old_live & new_live & (F.col("_nlsn") > F.col("_olsn")), F.lit("update"))
         )
         j = j.withColumn("change_type", ct).where(F.col("change_type").isNotNull())
+        if images == "both":
+            # pre+post row images (Delta CDF's update_preimage/postimage,
+            # folded into one row) — what algebraic downstream maintenance
+            # (incremental_rollup) needs to retract the old contribution
+            # and add the new one in a single pass.
+            live_pre = F.when(old_live, F.col("_oimg"))
+            live_post = F.when(new_live, F.col("_nimg"))
+            return j.select(
+                *self.key_cols,
+                F.col("change_type"),
+                F.col("_nlsn").alias("lsn"),
+                live_pre.alias("pre"),
+                live_post.alias("post"),
+            )
         img = F.when(F.col("change_type") == "delete", F.col("_oimg")).otherwise(
             F.col("_nimg")
         )

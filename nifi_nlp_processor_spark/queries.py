@@ -486,6 +486,59 @@ FROM t WHERE change_type IS NOT NULL
 """
 
 
+def q_cdc_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-conversation rollup as of
+    snapshot 2 (epochs 0–1) is carried forward to the head by applying the
+    net changelog's algebraic deltas — count retraction + sum-of-chars
+    retraction per change row — instead of rescanning the table
+    (operators/incremental_rollup.py; O(changed keys), not O(table)).
+    The oracle recomputes the head rollup from scratch, so the check IS the
+    incremental ≡ recompute equivalence."""
+    from nifi_nlp_processor_spark.operators.incremental_rollup import (
+        incremental_rollup,
+    )
+
+    ev = events_from_generic_table(spark, sf_dir).withColumn(
+        "epoch_id", (F.col("lsn") % 4).cast("long")
+    )
+    root = _scratch_root(spark, sf_dir, "cdc_ir")
+    staged = root + "_in"
+    ev.write.mode("overwrite").partitionBy("epoch_id").parquet(staged)
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake)
+    engine.apply_epochs(spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3])
+    prev = (
+        lake.read(at_seq=2)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+    out = incremental_rollup(
+        lake,
+        from_seq=2,
+        group_cols=["conv_id"],
+        aggs={"total_chars": lambda img: F.length(img.getField("text"))},
+        prev=prev,
+    )
+    return out.select(
+        "conv_id", F.col("n_rows").alias("n_turns"), "total_chars"
+    )
+
+
+_INCR_ROLLUP_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, count(*) AS n_turns,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM r WHERE rn = 1 AND op <> 'D' GROUP BY conv_id
+"""
+
+
 def q_cdc_conflict_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delivery-conflict metrics cube (SURVEY §2.4: conflict counts per
     partition-dimension, built-in ``rollup``): per (epoch, op) — plus the
@@ -2089,6 +2142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_stream_apply": q_cdc_stream_apply,
     "cdc_lineage": q_cdc_lineage,
     "cdc_table_changes": q_cdc_table_changes,
+    "cdc_incr_rollup": q_cdc_incr_rollup,
     "cdc_apply_enriched": q_cdc_apply_enriched,
     "cdc_conflict_rollup": q_cdc_conflict_rollup,
     "extract_emails": q_extract_emails,
@@ -2138,6 +2192,7 @@ ORACLES: dict[str, str] = {
     "cdc_stream_apply": _BOOTSTRAP_SQL,
     "cdc_lineage": _LINEAGE_SQL,
     "cdc_table_changes": _TABLE_CHANGES_SQL,
+    "cdc_incr_rollup": _INCR_ROLLUP_SQL,
     "cdc_apply_enriched": _APPLY_ENRICHED_SQL,
     "cdc_conflict_rollup": _CONFLICT_ROLLUP_SQL,
     "extract_emails": _EXTRACT_EMAILS_SQL,
