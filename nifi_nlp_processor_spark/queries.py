@@ -1983,6 +1983,53 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup over the event stream (the
+    Structured Streaming late-data pattern, streaming/windowed.py): append
+    mode emits each window exactly once, when the watermark passes its
+    end. An availableNow drain leaves the last hour of windows open, so
+    the oracle applies the same cutoff — ``window_end <= max(ts) - 1h`` —
+    making the check exact, not merely row-counted. Late-data accept/drop
+    semantics are proven with controlled two-batch delivery in
+    tests/test_streaming_windowed.py."""
+    from nifi_nlp_processor_spark.streaming import windowed_counts
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    base = _scratch_root(spark, sf_dir, "cdc_win")
+    src, out, ckpt = base + "_src", base + "_out", base + "_ckpt"
+    ev.coalesce(4).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = (
+        windowed_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("windowed stream did not drain within 300 s")
+    return spark.read.parquet(out)
+
+
+_STREAM_WINDOWED_SQL = """
+WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         count(*) AS n_events,
+         cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT w.* FROM w, m WHERE w.window_end <= m.wm
+"""
+
+
 _SESSIONIZE_STREAM_SQL = """
 WITH l AS (
   SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -2177,6 +2224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "sessionize_events": q_sessionize_events,
     "sessionize_stream": q_sessionize_stream,
+    "stream_windowed_counts": q_stream_windowed_counts,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
 }
@@ -2227,6 +2275,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": _ASOF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "sessionize_stream": _SESSIONIZE_STREAM_SQL,
+    "stream_windowed_counts": _STREAM_WINDOWED_SQL,
     "pricing_summary": _PRICING_SQL,
     "segment_revenue": _SEGMENT_SQL,
 }

@@ -1,3 +1,6 @@
 from nifi_nlp_processor_spark.streaming.sessionize import (  # noqa: F401
     sessionize_stream,
 )
+from nifi_nlp_processor_spark.streaming.windowed import (  # noqa: F401
+    windowed_counts,
+)
