@@ -1983,6 +1983,45 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transport-retry suppression at ingest (streaming/dedup.py): every
+    lsn % 5 == 0 change event is staged twice — the at-least-once
+    re-delivery — and ``dropDuplicatesWithinWatermark`` on the identity key
+    collapses them before any downstream work. The oracle is simply the
+    original change set: dedup must reproduce it exactly. Within/beyond-
+    watermark drop semantics are proven across checkpointed restarts in
+    tests/test_streaming_dedup.py."""
+    from nifi_nlp_processor_spark.streaming import dedup_stream
+
+    ev = events_from_generic_table(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")  # NTZ -> LTZ: watermark needs it
+    )
+    staged_df = ev.unionByName(ev.where(F.col("lsn") % 5 == 0))
+    base = _scratch_root(spark, sf_dir, "cdc_ddi")
+    src, out, ckpt = base + "_src", base + "_out", base + "_ckpt"
+    staged_df.coalesce(4).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        dedup_stream(stream, keys=("lsn",), watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dedup stream did not drain within 300 s")
+    return spark.read.parquet(out).select("lsn", "op", "conv_id", "turn_idx", "text")
+
+
+_STREAM_DEDUP_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL})
+SELECT lsn, op, conv_id, turn_idx, text FROM changes
+"""
+
+
 def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup over the event stream (the
     Structured Streaming late-data pattern, streaming/windowed.py): append
@@ -2225,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "sessionize_stream": q_sessionize_stream,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_dedup_ingest": q_stream_dedup_ingest,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
 }
@@ -2276,6 +2316,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": _SESSIONIZE_SQL,
     "sessionize_stream": _SESSIONIZE_STREAM_SQL,
     "stream_windowed_counts": _STREAM_WINDOWED_SQL,
+    "stream_dedup_ingest": _STREAM_DEDUP_SQL,
     "pricing_summary": _PRICING_SQL,
     "segment_revenue": _SEGMENT_SQL,
 }

@@ -4,3 +4,6 @@ from nifi_nlp_processor_spark.streaming.sessionize import (  # noqa: F401
 from nifi_nlp_processor_spark.streaming.windowed import (  # noqa: F401
     windowed_counts,
 )
+from nifi_nlp_processor_spark.streaming.dedup import (  # noqa: F401
+    dedup_stream,
+)
