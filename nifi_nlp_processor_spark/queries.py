@@ -1914,6 +1914,106 @@ FROM e
 """
 
 
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus prep pipeline END-TO-END: one fixture plants all
+    three pollution kinds (boilerplate header/footer lines, a spam
+    repetition run on every doc_id % 7 == 0, a PII email in every body),
+    then the cleaning operators compose — boilerplate line removal →
+    repetition gate (repetitive docs dropped) → PII redaction — exactly as
+    a user would chain them. The oracle re-derives the same pipeline in
+    SQL, so the check covers the COMPOSITION, not just each stage."""
+    from nifi_nlp_processor_spark.functions.quality import (
+        boilerplate_line_dedup,
+        redact_pii,
+        repetition_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_HDR)),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" spam" * 40)).otherwise(
+                    F.lit("")
+                ),
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_FTR)),
+        ).alias("text"),
+    )
+    cleaned = boilerplate_line_dedup(docs, min_doc_freq=10)
+    gated = cleaned.join(
+        repetition_stats(cleaned, text_col="clean_text").select(
+            "doc_id", "top_word_frac", "is_repetitive"
+        ),
+        "doc_id",
+    ).where(~F.col("is_repetitive"))
+    out = redact_pii(gated, {"email": _EMAIL_RE}, text_col="clean_text")
+    return out.join(
+        gated.select("doc_id", "n_removed", "top_word_frac"), "doc_id"
+    ).select(
+        "doc_id",
+        "redacted",
+        F.col("n_removed").alias("n_boiler_lines"),
+        "top_word_frac",
+        F.col("n_email").cast("long").alias("n_email"),
+    )
+
+
+_CORPUS_PREPARE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN doc_id % 2 = 0 THEN '{_HDR}' END,
+    text || ' contact user' || doc_id || '@example.com' ||
+      CASE WHEN doc_id % 7 = 0 THEN repeat(' spam', 40) ELSE '' END,
+    CASE WHEN doc_id % 3 = 0 THEN '{_FTR}' END) AS text
+  FROM documents
+),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos FROM l0),
+f AS (
+  SELECT k FROM (
+    SELECT trim(line) AS k, count(DISTINCT doc_id) AS c FROM l GROUP BY 1
+  ) WHERE c >= 10
+),
+j AS (
+  SELECT l.doc_id, l.pos, l.line, (f.k IS NOT NULL) AS boiler
+  FROM l LEFT JOIN f ON trim(l.line) = f.k
+),
+c AS (
+  SELECT doc_id,
+    coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT boiler), '') AS clean,
+    count(*) FILTER (WHERE boiler) AS n_boiler_lines
+  FROM j GROUP BY doc_id
+),
+t AS (SELECT doc_id, clean, n_boiler_lines, string_split(clean, ' ') AS w FROM c),
+tok AS (SELECT doc_id, unnest(w) AS g, generate_subscripts(w, 1) AS pos FROM t),
+wcnt AS (SELECT doc_id, g, count(*) AS cnt FROM tok GROUP BY 1, 2),
+twf AS (SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS twf FROM wcnt GROUP BY doc_id),
+bg0 AS (
+  SELECT doc_id, g || ' ' || lead(g) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM tok
+),
+bcnt AS (SELECT doc_id, bg, count(*) AS cnt FROM bg0 WHERE bg IS NOT NULL GROUP BY 1, 2),
+tbf AS (SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS tbf FROM bcnt GROUP BY doc_id),
+gated AS (
+  SELECT t.doc_id, clean, n_boiler_lines, round(twf, 6) AS top_word_frac
+  FROM t JOIN twf USING (doc_id) LEFT JOIN tbf USING (doc_id)
+  WHERE NOT (twf > 0.10 OR coalesce(tbf, 0) > 0.05)
+)
+SELECT doc_id,
+  regexp_replace(clean, '{_EMAIL_RE}', '[EMAIL]', 'g') AS redacted,
+  n_boiler_lines,
+  top_word_frac,
+  CAST(len(regexp_extract_all(clean, '{_EMAIL_RE}')) AS BIGINT) AS n_email
+FROM gated
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational / streaming-shaped analytics over the star schema
 # ---------------------------------------------------------------------------
@@ -2259,6 +2359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "repetition_stats": q_repetition_stats,
     "redact_pii": q_redact_pii,
+    "corpus_prepare": q_corpus_prepare,
     "multimodal_summary": q_multimodal_summary,
     "events_asof_join": q_events_asof_join,
     "sessionize_events": q_sessionize_events,
@@ -2311,6 +2412,7 @@ ORACLES: dict[str, str] = {
     "line_dedup": _LINE_DEDUP_SQL,
     "repetition_stats": _REPETITION_SQL,
     "redact_pii": _REDACT_SQL,
+    "corpus_prepare": _CORPUS_PREPARE_SQL,
     "multimodal_summary": _MULTIMODAL_SQL,
     "events_asof_join": _ASOF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
