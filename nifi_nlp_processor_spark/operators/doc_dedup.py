@@ -279,13 +279,23 @@ def jaccard_pairs(
     if candidates is not None:
         # restrict to candidate doc ids BEFORE the self-join (the DF cap
         # above stays corpus-global: stop-shingles are a property of the
-        # whole corpus, not of the candidate subset)
+        # whole corpus, not of the candidate subset).
+        # The candidate relation feeds THREE consumers (both id-set arms
+        # and the post-aggregate semi-join) and the restricted shingle
+        # relation three more (sizes + both join sides) — without pinning
+        # them, every consumer re-runs the entire upstream LSH pipeline.
+        # Both are small by construction (pairs that survived banding, and
+        # candidate docs' shingles), so MEMORY_AND_DISK persist is the
+        # right trade at any scale; Spark evicts LRU if pressure hits.
+        candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
         cand_ids = (
             candidates.select(F.col("a_id").alias(id_col))
             .unionByName(candidates.select(F.col("b_id").alias(id_col)))
             .distinct()
         )
-        doc_shingles = doc_shingles.join(cand_ids, id_col, "left_semi")
+        doc_shingles = doc_shingles.join(cand_ids, id_col, "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = doc_shingles.select(F.col(id_col).alias("a_id"), "shingle")
     b = doc_shingles.select(F.col(id_col).alias("b_id"), "shingle")

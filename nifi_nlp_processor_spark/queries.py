@@ -1171,10 +1171,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole pipeline (cap and banding included) is
     DuckDB-expressible; the xxhash64 scale flavor is cross-checked in
     tests/test_dedup_scale.py."""
+    from pyspark import StorageLevel
+
     docs = _docs_with_near_dups(spark, sf_dir).withColumn(
         "text", F.concat(F.lit(_BOILER), F.col("text"))
     )
-    sh = df_capped_shingles(shingles(docs, k=3), max_doc_freq=_MAX_DOC_FREQ)
+    # the capped shingle relation feeds BOTH the signature arm and the
+    # exact-verify arm — pin it once instead of re-exploding the corpus
+    # (multi-pass pipelines persist their shared scan; disk spill is fine)
+    sh = df_capped_shingles(shingles(docs, k=3), max_doc_freq=_MAX_DOC_FREQ).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, num_hashes=8, hash_fn="md5")
     cand = lsh_candidate_pairs(sig, bands=4, bucket_fn="concat")
     return jaccard_pairs(sh, min_jaccard=0.5, candidates=cand).withColumn(
