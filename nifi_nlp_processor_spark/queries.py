@@ -2205,6 +2205,68 @@ SELECT user_id, session_start, session_end, n_events FROM r WHERE rn > 1
 """
 
 
+def q_sessionize_stream_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION streaming sessionizer: event-time timeout closes a
+    session when the watermark passes (last event + gap) with no successor
+    — a user who stops sending still gets their final session emitted, and
+    their state is evicted. The oracle reproduces Spark's event-time
+    clock exactly: ms-truncated timestamps, watermark = max(ts) - delay,
+    timeout fires strictly below the watermark — so each user's last
+    session is emitted iff it timed out in the drain's final no-data
+    batch, and the whole output remains value-exact, not rows-only."""
+    from nifi_nlp_processor_spark.streaming import sessionize_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    base = _scratch_root(spark, sf_dir, "cdc_sto")
+    src, out, ckpt = base + "_src", base + "_out", base + "_ckpt"
+    ev.coalesce(4).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, emit_on_timeout=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("timeout-sessionize stream did not drain within 300 s")
+    return spark.read.parquet(out)
+
+
+_SESSIONIZE_STREAM_TO_SQL = """
+WITH l AS (
+  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+g AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+    CAST(count(*) AS INT) AS n_events
+  FROM g GROUP BY user_id, sid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rn FROM sess
+),
+wm AS (SELECT epoch_us(max(ts)) // 1000 - 1800000 AS wm_ms FROM events)
+SELECT user_id, session_start, session_end, n_events FROM r, wm
+WHERE rn > 1 OR (epoch_us(session_end) // 1000 + 1800000) < wm_ms
+"""
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (temporal) join: every purchase event enriched with the most
     recent prior-or-equal view event of the same user. Spark has no ASOF
@@ -2373,6 +2435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_join": q_events_asof_join,
     "sessionize_events": q_sessionize_events,
     "sessionize_stream": q_sessionize_stream,
+    "sessionize_stream_to": q_sessionize_stream_to,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_dedup_ingest": q_stream_dedup_ingest,
     "pricing_summary": q_pricing_summary,
@@ -2426,6 +2489,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": _ASOF_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "sessionize_stream": _SESSIONIZE_STREAM_SQL,
+    "sessionize_stream_to": _SESSIONIZE_STREAM_TO_SQL,
     "stream_windowed_counts": _STREAM_WINDOWED_SQL,
     "stream_dedup_ingest": _STREAM_DEDUP_SQL,
     "pricing_summary": _PRICING_SQL,

@@ -13,9 +13,10 @@ Semantics (identical to the batch lag-window form): events of one user
 belong to one session while consecutive gaps are ≤ ``gap_seconds``; a
 larger gap closes the running session and starts a new one. Closed
 sessions are EMITTED (append mode); the running session stays in state
-until a later batch closes it (or a GroupStateTimeout would flush it —
-timeout flushing is left to the caller's trigger policy so results stay
-deterministic for testing).
+until a later event closes it, or — with ``emit_on_timeout=True`` — until
+the event-time watermark passes (last event + gap), which closes it BY
+TIME and evicts the state (the production shape; the default stays
+timeout-free so oracle comparisons are watermark-independent).
 
 Scale: state per key is O(1) (three scalars). A group's rows arrive as an
 ITERATOR of Arrow chunks in arbitrary (post-shuffle) order — a user whose
@@ -98,7 +99,18 @@ def _sessionize_batch(
     return sessions
 
 
-def _make_fn(gap_seconds: int):
+def _closed_df(user_id, closed: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+            "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+            "n_events": [int(c[2]) for c in closed],
+        }
+    )
+
+
+def _make_fn(gap_seconds: int, emit_on_timeout: bool = False):
     gap_us = gap_seconds * 1_000_000
 
     def fn(
@@ -107,25 +119,31 @@ def _make_fn(gap_seconds: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if emit_on_timeout and state.hasTimedOut:
+            # the watermark passed this user's last event + gap with no
+            # successor: the open session is closed by TIME, not by a next
+            # event — emit it and clear the state
+            s = tuple(state.get)
+            state.remove()
+            yield _closed_df(user_id, [s])
+            return
         # Materialize ALL chunks before sorting: chunk boundaries are an
         # Arrow batching artifact with no time-order guarantee.
         chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
         carried = tuple(state.get) if state.exists else None
         if not chunks:
-            return  # timeout/empty delivery: state untouched
+            return  # empty delivery: state untouched
         us = pd.concat(chunks, ignore_index=True).astype("int64") // 1_000
         sessions = _sessionize_batch(us, gap_us, carried)
-        state.update(tuple(int(x) for x in sessions[-1]))
+        open_s = tuple(int(x) for x in sessions[-1])
+        state.update(open_s)
+        if emit_on_timeout:
+            # event-time timeout fires when the watermark passes this
+            # (ms precision — Spark's event-time clock)
+            state.setTimeoutTimestamp(open_s[1] // 1_000 + gap_seconds * 1_000)
         closed = sessions[:-1]
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
-                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
-                    "n_events": [int(c[2]) for c in closed],
-                }
-            )
+            yield _closed_df(user_id, closed)
 
     return fn
 
@@ -133,13 +151,34 @@ def _make_fn(gap_seconds: int):
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
+    emit_on_timeout: bool = False,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Streaming sessionization: ``events`` must carry ``user_id`` and
-    ``ts``; returns the append-mode stream of CLOSED sessions."""
+    ``ts``; returns the append-mode stream of CLOSED sessions.
+
+    ``emit_on_timeout=False`` (default): a session closes only when a
+    later event of the same user arrives past the gap — deterministic for
+    oracle testing, but a user who stops sending never gets their final
+    session emitted.
+
+    ``emit_on_timeout=True``: the production shape. A watermark
+    (``watermark_delay``, default = the gap itself) drives an EVENT-TIME
+    timeout set to (last event + gap): when the watermark passes it with
+    no successor, the open session is emitted as closed by time. Late
+    events within the delay still extend their session; the at-rest state
+    is evicted, so abandoned users cost nothing."""
+    if emit_on_timeout:
+        events = events.withWatermark(
+            "ts", watermark_delay or f"{gap_seconds} seconds"
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        _make_fn(gap_seconds),
+        _make_fn(gap_seconds, emit_on_timeout),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

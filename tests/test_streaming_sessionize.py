@@ -214,3 +214,50 @@ def test_sessionize_multiple_gaps_in_one_batch(spark, tmp_path):
         (7, _t(0), _t(100), 2),
         (7, _t(3000), _t(3100), 2),
     }
+
+
+def _run_to(spark, src, out, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, emit_on_timeout=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def test_timeout_emits_abandoned_session_and_evicts_state(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    # user 1 stops at t=600; user 2's event at t=10000 drives the
+    # watermark to 8200, past user 1's timeout (600+1800=2400) -> emit
+    _write(spark, src, [(1, _t(0)), (1, _t(600)), (2, _t(10000))], 1)
+    _run_to(spark, src, out, ckpt)
+    got = _sessions(spark, out)
+    assert (1, _t(0), _t(600), 2) in got
+    assert len(got) == 1  # user 2's session is still open (not timed out)
+
+    # user 1 returns AFTER the eviction: a brand-new session, not a
+    # continuation (the state was removed, not leaked)
+    _write(spark, src, [(1, _t(9000)), (2, _t(20000))], 1)
+    _run_to(spark, src, out, ckpt)
+    got = _sessions(spark, out)
+    assert (1, _t(9000), _t(9000), 1) in got      # new session, n=1
+    assert (2, _t(10000), _t(10000), 1) in got    # user 2 timed out now
+
+
+def test_timeout_not_fired_while_gap_open(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    # watermark = 2000-1800 = 200 < user 1's timeout (600+1800): held open
+    _write(spark, src, [(1, _t(0)), (1, _t(600)), (2, _t(2000))], 1)
+    _run_to(spark, src, out, ckpt)
+    assert _sessions(spark, out) == set()
+
+    # a late-but-in-gap successor then EXTENDS the same session
+    _write(spark, src, [(1, _t(1200)), (2, _t(30000))], 1)
+    _run_to(spark, src, out, ckpt)
+    got = _sessions(spark, out)
+    assert (1, _t(0), _t(1200), 3) in got  # one session, extended across drains
