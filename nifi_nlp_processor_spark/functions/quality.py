@@ -127,40 +127,59 @@ def repetition_stats(
     thresholds. Output: ``(id_col, n_words, distinct_word_frac,
     top_word_frac, top_bigram_frac, is_repetitive)`` with fractions rounded
     to 6 digits for cross-engine comparison.
+
+    Single-pass shape: ONE scan explodes words and bigrams together,
+    tagged by kind, and every metric falls out of the one
+    (doc, kind, gram) → (doc, kind) → doc aggregation chain — n_words =
+    Σ count over word grams, distinct fraction = distinct word grams / Σ,
+    top fractions = max / Σ per kind. Exploding both kinds costs the same
+    shuffle volume as either alone would at corpus scale (n + n-1 rows of
+    8-byte-hashable grams), and the text column is read once.
     """
     words = F.split(F.col(text_col), " ")
-    base = docs.select(
+    grams = docs.select(
         F.col(id_col),
-        words.alias("w"),
-        F.size(words).alias("n_words"),
-        (F.size(F.array_distinct(words)) / F.size(words)).alias("dwf"),
+        F.explode(
+            F.concat(
+                F.transform(words, lambda w: F.struct(F.lit("w").alias("k"), w.alias("g"))),
+                F.transform(
+                    _bigrams(words),
+                    lambda b: F.struct(F.lit("b").alias("k"), b.alias("g")),
+                ),
+            )
+        ).alias("kg"),
+    ).select(id_col, F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+
+    per_kind = (
+        grams.groupBy(id_col, "k", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "k")
+        .agg(
+            F.max("c").alias("top_c"),
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
     )
 
-    def top_frac(gram_col: Column, label: str) -> DataFrame:
-        g = base.select(id_col, "n_words", F.explode(gram_col).alias("g"))
-        per_gram = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-        return per_gram.groupBy(id_col).agg(
-            (F.max("c") / F.sum("c")).alias(label)
-        )
+    def kind(col: str, k: str) -> Column:
+        return F.max(F.when(F.col("k") == k, F.col(col)))
 
-    tw = top_frac(F.col("w"), "twf")
-    tb = top_frac(_bigrams(F.col("w")), "tbf")
-
-    return (
-        base.drop("w")
-        .join(tw, id_col, "left")
-        .join(tb, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            F.round("dwf", 6).alias("distinct_word_frac"),
-            F.round("twf", 6).alias("top_word_frac"),
-            F.round(F.coalesce("tbf", F.lit(0.0)), 6).alias("top_bigram_frac"),
-            (
-                (F.col("twf") > max_top_word_frac)
-                | (F.coalesce("tbf", F.lit(0.0)) > max_top_bigram_frac)
-            ).alias("is_repetitive"),
-        )
+    agg = per_kind.groupBy(id_col).agg(
+        kind("total", "w").alias("n_words_l"),
+        (kind("n_distinct", "w") / kind("total", "w")).alias("dwf"),
+        (kind("top_c", "w") / kind("total", "w")).alias("twf"),
+        (kind("top_c", "b") / kind("total", "b")).alias("tbf"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_words_l").cast("int").alias("n_words"),
+        F.round("dwf", 6).alias("distinct_word_frac"),
+        F.round("twf", 6).alias("top_word_frac"),
+        F.round(F.coalesce("tbf", F.lit(0.0)), 6).alias("top_bigram_frac"),
+        (
+            (F.col("twf") > max_top_word_frac)
+            | (F.coalesce("tbf", F.lit(0.0)) > max_top_bigram_frac)
+        ).alias("is_repetitive"),
     )
 
 
