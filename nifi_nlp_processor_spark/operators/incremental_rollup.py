@@ -48,8 +48,18 @@ def rollup_deltas(
     expression, so this is a single partial+final aggregation."""
 
     def contrib(fn: Callable[[Column], Column]) -> Column:
-        plus = F.when(F.col("post").isNotNull(), fn(F.col("post"))).otherwise(F.lit(0))
-        minus = F.when(F.col("pre").isNotNull(), fn(F.col("pre"))).otherwise(F.lit(0))
+        # each side is coalesced to 0 INDEPENDENTLY: fn over a NULL field
+        # (e.g. length(tool) where tool is NULL) must contribute 0, not
+        # poison the whole plus-minus into NULL — an update from NULL to a
+        # value would otherwise silently drop its delta. This matches the
+        # recompute semantics exactly: sum() skips NULL rows, which is the
+        # same total as summing 0 for them.
+        plus = F.when(
+            F.col("post").isNotNull(), F.coalesce(fn(F.col("post")), F.lit(0))
+        ).otherwise(F.lit(0))
+        minus = F.when(
+            F.col("pre").isNotNull(), F.coalesce(fn(F.col("pre")), F.lit(0))
+        ).otherwise(F.lit(0))
         return plus - minus
 
     terms = [F.sum(contrib(lambda _: F.lit(1))).alias("n_rows")] + [

@@ -120,3 +120,31 @@ def test_images_both_contract(spark, lake):
     assert dele.change_type == "delete" and dele.post is None and dele.pre.text == "dd"
     upd = rows[("a", 0)]
     assert upd.pre.text == "aaaa" and upd.post.text == "much-longer-text"
+
+
+def test_null_to_value_update_contributes_delta(spark, tmp_path):
+    """An update that fills a previously-NULL column must contribute its
+    full delta — the NULL side coalesces to 0 instead of poisoning the
+    plus-minus into NULL (which sum() would then silently skip)."""
+    lake = ParquetLakeTable(spark, str(tmp_path / "lake"), n_buckets=2)
+    engine = CdcEngine(lake=lake)
+    rows = [
+        {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "t",
+         "tool": None, "ts": _TS, "lsn": 1, "op": "I", "epoch_id": 0},
+        {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "t",
+         "tool": "grep", "ts": _TS, "lsn": 2, "op": "U", "epoch_id": 1},
+    ]
+    engine.apply_epochs(spark.createDataFrame(rows, SCHEMA), epoch_ids=[0, 1])
+    aggs = {"tool_chars": lambda img: F.length(img.getField("tool"))}
+    prev = (
+        lake.read(at_seq=1)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum(F.length("tool")), F.lit(0)).alias("tool_chars"),
+        )
+    )
+    got = incremental_rollup(lake, 1, ["conv_id"], aggs, prev=prev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_rows == 1 and r.tool_chars == 4  # len('grep'), not NULL-skipped
