@@ -1786,6 +1786,44 @@ def _docs_with_boiler_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics per language: vocabulary size (exact
+    distinct words), total tokens, and type-token ratio. The distinct is
+    computed as distinct-(lang, word)-then-count — a plain partial+final
+    chain on both levels — never count(distinct) over the exploded corpus
+    (whose expand-based plan doubles the shuffle at scale)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        words.select("lang", "w")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    totals = words.groupBy("lang").agg(F.count(F.lit(1)).alias("total_tokens"))
+    return (
+        totals.join(vocab, "lang")
+        .select(
+            "lang",
+            "vocab_size",
+            "total_tokens",
+            F.round(F.col("vocab_size") / F.col("total_tokens"), 6).alias("ttr"),
+        )
+    )
+
+
+_VOCAB_SQL = """
+WITH w AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+v AS (SELECT lang, count(*) AS vocab_size FROM (SELECT DISTINCT lang, w FROM w) GROUP BY lang),
+t AS (SELECT lang, count(*) AS total_tokens FROM w GROUP BY lang)
+SELECT t.lang, vocab_size, total_tokens,
+  round(vocab_size * 1.0 / total_tokens, 6) AS ttr
+FROM t JOIN v USING (lang)
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate removal: lines occurring in >= 10 distinct
     documents (the planted header/footer; natural exact-dup bodies stay
@@ -2427,6 +2465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id_pred": q_lang_id_pred,
+    "vocab_by_lang": q_vocab_by_lang,
     "line_dedup": q_line_dedup,
     "repetition_stats": q_repetition_stats,
     "redact_pii": q_redact_pii,
@@ -2481,6 +2520,7 @@ ORACLES: dict[str, str] = {
     "text_quality": _QUALITY_SQL,
     "token_count_by_lang": _TOKEN_COUNT_SQL,
     "lang_id_pred": _LANG_ID_SQL,
+    "vocab_by_lang": _VOCAB_SQL,
     "line_dedup": _LINE_DEDUP_SQL,
     "repetition_stats": _REPETITION_SQL,
     "redact_pii": _REDACT_SQL,
