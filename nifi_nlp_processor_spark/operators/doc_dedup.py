@@ -155,6 +155,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bucket_fn: str = "xxhash64",
     max_bucket: int = 1024,
+    n_hubs: int = 1,
 ) -> DataFrame:
     """MinHash-LSH banding: docs agreeing on every hash of ≥1 band become a
     candidate pair (a_id < b_id). The only shuffle is groupBy(band, bucket).
@@ -184,9 +185,12 @@ def lsh_candidate_pairs(
     ``max_bucket`` docs agree on a whole MinHash band, which at sane band
     widths means a near-identical cluster, not a grab-bag — and the
     alternative (full expansion) is the n² blowup this guard exists to
-    prevent. Callers needing extra recall inside mega-buckets can lower
-    ``max_bucket`` risk by raising bands/hashes, or run a second LSH pass
-    over the mega-bucket members only."""
+    prevent. ``n_hubs > 1`` buys back recall inside heterogeneous
+    mega-buckets at linear cost: every member pairs with each of the k
+    smallest ids (deterministic, no RNG), so a near-dup pair survives the
+    verifier if EITHER endpoint resembles ANY hub — k×(b-1) pairs instead
+    of b-1. The k-smallest ranking sorts only mega-bucket member ids
+    (8-byte rows, spillable window sort), never signatures or text."""
     banded = lsh_buckets(signatures, bands=bands, id_col=id_col, bucket_fn=bucket_fn)
 
     stats = banded.groupBy("band", "bucket").agg(
@@ -209,11 +213,28 @@ def lsh_candidate_pairs(
     ).select("p.a_id", "p.b_id")
 
     big = stats.where(F.col("_n") > max_bucket).select("band", "bucket", "_min_id")
-    big_pairs = (
-        banded.join(big, ["band", "bucket"])
-        .where(F.col(id_col) != F.col("_min_id"))
-        .select(F.col("_min_id").alias("a_id"), F.col(id_col).alias("b_id"))
-    )
+    if n_hubs <= 1:
+        big_pairs = (
+            banded.join(big, ["band", "bucket"])
+            .where(F.col(id_col) != F.col("_min_id"))
+            .select(F.col("_min_id").alias("a_id"), F.col(id_col).alias("b_id"))
+        )
+    else:
+        members = banded.join(big.select("band", "bucket"), ["band", "bucket"])
+        w = Window.partitionBy("band", "bucket").orderBy(id_col)
+        hubs = (
+            members.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_hubs)
+            .select("band", "bucket", F.col(id_col).alias("_hub"))
+        )
+        big_pairs = (
+            members.join(hubs, ["band", "bucket"])
+            .where(F.col(id_col) != F.col("_hub"))
+            .select(
+                F.least(F.col(id_col), F.col("_hub")).alias("a_id"),
+                F.greatest(F.col(id_col), F.col("_hub")).alias("b_id"),
+            )
+        )
     return small_pairs.unionByName(big_pairs).distinct()
 
 

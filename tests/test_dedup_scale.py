@@ -317,3 +317,31 @@ def test_connected_components_empty_and_star(spark):
     star = spark.createDataFrame([(5, i) for i in range(6, 30)], "a_id long, b_id long")
     got = {(r.id, r.component) for r in connected_components(star).collect()}
     assert got == {(i, 5) for i in range(5, 30)}
+
+
+def test_mega_bucket_multi_hub_expansion(spark):
+    """n_hubs=k: every mega-bucket member pairs with each of the k
+    smallest ids — still linear (k*(n-1)-ish, not C(n,2)) — so a near-dup
+    pair inside a heterogeneous mega-bucket survives exact verification
+    when EITHER endpoint resembles ANY hub, not only the single min-id."""
+    n = 500
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated many many times over").alias("text"),
+    )
+    sh = shingles(docs, k=3)
+    sig = minhash_signatures(sh, num_hashes=8)
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in lsh_candidate_pairs(sig, bands=4, max_bucket=100, n_hubs=3).collect()
+    }
+    # hubs are ids 0,1,2: every other member pairs with all three
+    for hub in (0, 1, 2):
+        others = set(range(n)) - {hub}
+        assert all((min(hub, o), max(hub, o)) in pairs for o in others)
+    # linear, not quadratic: 3*(n-1) distinct hub pairs minus the 3
+    # double-counted hub-hub pairs
+    assert len(pairs) == 3 * (n - 1) - 3
+    # the single-hub default is unchanged
+    single = lsh_candidate_pairs(sig, bands=4, max_bucket=100).collect()
+    assert len(single) == n - 1
