@@ -2423,6 +2423,134 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# Training-data assembly: decontamination, packing, split/sampling
+# ---------------------------------------------------------------------------
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct 5-gram
+    with the benchmark set (every doc_id % 97 == 0 doc stands in for the
+    eval suite — non-vacuous because those docs and their natural
+    near-duplicates overlap themselves). md5 fingerprint flavor for oracle
+    parity; the xxhash64 scale flavor is cross-checked in
+    tests/test_corpus_assembly.py. Benchmark n-gram set is broadcast — the
+    corpus side never shuffles before the per-doc rollup."""
+    from nifi_nlp_processor_spark.operators.decontaminate import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5, hash_fn="md5")
+
+
+_DECONTAM_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM d),
+sh0 AS (
+  SELECT doc_id,
+    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+      || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS shingle
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, md5(shingle) AS fp FROM sh0 WHERE shingle IS NOT NULL),
+bench AS (SELECT DISTINCT fp FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM sh
+  WHERE fp IN (SELECT fp FROM bench) GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY doc_id)
+SELECT h.doc_id, h.n_hits, t.n_ngrams,
+  round(h.n_hits * 1.0 / t.n_ngrams, 6) AS contaminated_frac
+FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+"""
+
+
+_PACK_BUDGET = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-then-chunk, 256-token budget,
+    8 shards per language) + per-pack fill rollup. The window sort is
+    bounded to one (lang, shard) partition — the 100 TB shape where
+    n_shards scales with the cluster, never a global sort."""
+    from nifi_nlp_processor_spark.operators.packing import pack_sequences, pack_stats
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, _PACK_BUDGET, n_shards=8)
+    return pack_stats(packed, _PACK_BUDGET)
+
+
+_PACK_SQL = f"""
+WITH base AS (
+  SELECT lang, CAST(doc_id % 8 AS INT) AS shard, doc_id,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens,
+    CAST(floor(coalesce(sum(n_tokens) OVER (
+      PARTITION BY lang, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_PACK_BUDGET})
+    AS BIGINT) AS pack_id
+  FROM base
+)
+SELECT lang, shard, pack_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+  round(sum(n_tokens) * 1.0 / {_PACK_BUDGET}, 6) AS fill_ratio
+FROM packed GROUP BY 1, 2, 3
+"""
+
+
+_SAMPLE_WEIGHTS = {"en": 1.0, "zh": 0.25, "de": 0.5}
+_SAMPLE_DEFAULT = 0.75
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 split + per-language weighted sampling, rolled
+    up to (lang, split) counts. Both decisions are md5-digest buckets —
+    idempotent under replay/speculation, zero shuffle, zero UDF."""
+    from nifi_nlp_processor_spark.operators.sampling import (
+        dataset_split,
+        weighted_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tagged = dataset_split(docs).persist()
+    kept = weighted_sample(tagged, _SAMPLE_WEIGHTS, default=_SAMPLE_DEFAULT)
+    n_docs = tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_sampled = kept.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return n_docs.join(n_sampled, ["lang", "split"], "left").select(
+        "lang",
+        "split",
+        "n_docs",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+    )
+
+
+_DATASET_SPLIT_SQL = """
+WITH t AS (
+  SELECT lang,
+    CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b1,
+    CAST(('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b2
+  FROM documents
+),
+s AS (
+  SELECT lang,
+    CASE WHEN b1 < 9800 THEN 'train' WHEN b1 < 9900 THEN 'val' ELSE 'test' END AS split,
+    CASE WHEN b2 < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.25
+                         WHEN 'de' THEN 0.5 ELSE 0.75 END) * 10000 AS BIGINT)
+         THEN 1 ELSE 0 END AS kept
+  FROM t
+)
+SELECT lang, split, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_sampled
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2479,6 +2607,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_ingest": q_stream_dedup_ingest,
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
+    "decontam_overlap": q_decontam_overlap,
+    "pack_sequences": q_pack_sequences,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -2534,4 +2665,7 @@ ORACLES: dict[str, str] = {
     "stream_dedup_ingest": _STREAM_DEDUP_SQL,
     "pricing_summary": _PRICING_SQL,
     "segment_revenue": _SEGMENT_SQL,
+    "decontam_overlap": _DECONTAM_SQL,
+    "pack_sequences": _PACK_SQL,
+    "dataset_split": _DATASET_SPLIT_SQL,
 }
