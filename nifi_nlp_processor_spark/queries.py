@@ -2550,6 +2550,89 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope source boundary: the change stream is serialized
+    to wire-format JSON envelopes (deletes image in ``before``, to_json
+    omitting nulls — exactly what a binlog relay emits) and parsed back
+    with one codegen ``from_json``; the rollup proves per-op counts, LSN
+    watermarks and payload bytes survive the round trip. The oracle
+    computes the same rollup directly from the generic-events derivation —
+    an independent path that never touches JSON."""
+    from nifi_nlp_processor_spark.sources.envelope import (
+        parse_envelope,
+        to_envelope_json,
+    )
+
+    ev = events_from_generic_table(spark, sf_dir)
+    parsed = parse_envelope(to_envelope_json(ev))
+    return parsed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("lsn").alias("max_lsn"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+    )
+
+
+_PARSE_ENVELOPE_SQL = f"""
+WITH ch AS ({EVENTS_AS_CHANGES_SQL})
+SELECT op, count(*) AS n_events, max(lsn) AS max_lsn,
+  count(DISTINCT conv_id) AS n_convs,
+  CAST(sum(length(text)) AS BIGINT) AS total_text_chars
+FROM ch GROUP BY op
+"""
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/interval_join.py):
+    click→purchase attribution pairs within 30 minutes per user, both join
+    sides filtered out of ONE live stream. Inner interval joins emit each
+    pair in the micro-batch where the match completes, so an availableNow
+    drain over the fully staged source equals the batch interval join —
+    the oracle is exact, no cutoff needed. Watermark-bounded join state
+    and late-row eviction are proven with controlled two-batch delivery in
+    tests/test_streaming_interval_join.py."""
+    from nifi_nlp_processor_spark.streaming import attribution_pairs
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    base = _scratch_root(spark, sf_dir, "cdc_ivj")
+    src, out, ckpt = base + "_src", base + "_out", base + "_ckpt"
+    ev.coalesce(4).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(src)
+    q = (
+        attribution_pairs(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("interval-join stream did not drain within 300 s")
+    return spark.read.parquet(out)
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS trigger_id, p.event_id AS outcome_id,
+  c.user_id AS user_id,
+  CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0) AS BIGINT) AS delay_sec,
+  p.value AS outcome_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2610,6 +2693,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_overlap": q_decontam_overlap,
     "pack_sequences": q_pack_sequences,
     "dataset_split": q_dataset_split,
+    "cdc_parse_envelope": q_cdc_parse_envelope,
+    "stream_interval_join": q_stream_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2668,4 +2753,6 @@ ORACLES: dict[str, str] = {
     "decontam_overlap": _DECONTAM_SQL,
     "pack_sequences": _PACK_SQL,
     "dataset_split": _DATASET_SPLIT_SQL,
+    "cdc_parse_envelope": _PARSE_ENVELOPE_SQL,
+    "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
 }

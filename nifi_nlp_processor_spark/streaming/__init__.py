@@ -7,3 +7,7 @@ from nifi_nlp_processor_spark.streaming.windowed import (  # noqa: F401
 from nifi_nlp_processor_spark.streaming.dedup import (  # noqa: F401
     dedup_stream,
 )
+from nifi_nlp_processor_spark.streaming.interval_join import (  # noqa: F401
+    attribution_pairs,
+    interval_join,
+)
