@@ -341,6 +341,91 @@ class ParquetLakeTable:
             "retained_seqs": [c["seq"] for c in retained],
         }
 
+    def fsck(self, repair: bool = False) -> dict:
+        """Table integrity check (and crash-debris repair) — the ops tool a
+        10^10-event lake needs after driver crashes and kill -9s.
+
+        Verifies, without touching a data file's contents:
+
+        * every ledger manifest parses, its ``seq`` matches its filename,
+          and its schema version file exists (``bad_manifests``);
+        * every bucket pointer of every manifest — base file sets AND
+          merge-on-read deltas — resolves to an existing directory
+          (``missing_paths``: real corruption, unrepairable here; restore
+          from a replica or re-replay the source);
+        * data commit dirs referenced by NO manifest are classified dead
+          (``seq <=`` ledger head: a writer crashed between data write and
+          manifest publish — the atomic-rename commit protocol makes them
+          invisible but they hold disk) or in-flight (``seq >`` head: an
+          unpublished writer may still be running — never touched);
+        * stale ``.tmp-*`` manifest droppings from interrupted publishes.
+
+        With ``repair=True`` dead orphan dirs and tmp droppings are
+        deleted. This is ZERO-data-loss repair — unlike
+        ``expire_snapshots`` it never removes data referenced by any
+        manifest, so time travel is unaffected. Cost: one listdir of
+        ``data/`` + the manifest JSONs + one existence stat per bucket
+        pointer — O(commits × buckets), no data-file listing, no Spark job.
+        """
+        commits_dir = os.path.join(self.root, "_commits")
+        data_root = os.path.join(self.root, "data")
+        report: dict = {
+            "bad_manifests": [],
+            "missing_paths": [],
+            "dead_orphan_dirs": [],
+            "inflight_dirs": [],
+            "tmp_manifests": [],
+            "removed": [],
+            "ok": True,
+        }
+        commits: list[dict] = []
+        for f in self._commit_files():
+            path = os.path.join(commits_dir, f)
+            try:
+                with open(path) as fh:
+                    c = json.load(fh)
+                if f != f"commit-{c['seq']:08d}.json":
+                    raise ValueError(f"seq {c['seq']} != filename {f}")
+                if not os.path.exists(os.path.join(self.root, "_schema", c["schema"])):
+                    raise ValueError(f"schema file {c['schema']} missing")
+                commits.append(c)
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                report["bad_manifests"].append({"file": f, "error": str(e)})
+        referenced: set[str] = set()
+        for c in commits:
+            for ptr in c["buckets"].values():
+                for part in self._ptr_parts(ptr):
+                    referenced.add(part["path"].split("/")[1])
+                    if not os.path.exists(os.path.join(self.root, part["path"])):
+                        report["missing_paths"].append(
+                            {"seq": c["seq"], "path": part["path"]}
+                        )
+        max_seq = commits[-1]["seq"] if commits else 0
+        if os.path.exists(data_root):
+            for d in sorted(os.listdir(data_root)):
+                try:
+                    seq = int(d.lstrip("c"))
+                except ValueError:
+                    continue
+                if d in referenced:
+                    continue
+                kind = "inflight_dirs" if seq > max_seq else "dead_orphan_dirs"
+                report[kind].append(d)
+        report["tmp_manifests"] = sorted(
+            f for f in os.listdir(commits_dir) if f.startswith(".tmp-")
+        )
+        report["ok"] = not (
+            report["bad_manifests"] or report["missing_paths"]
+        )
+        if repair:
+            for d in report["dead_orphan_dirs"]:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                report["removed"].append(f"data/{d}")
+            for f in report["tmp_manifests"]:
+                os.remove(os.path.join(commits_dir, f))
+                report["removed"].append(f"_commits/{f}")
+        return report
+
     def compact(self, min_files: int = 2) -> dict:
         """Iceberg ``rewrite_data_files`` (bin-pack compaction) analogue.
 

@@ -73,6 +73,13 @@ EXPECT = {
     # split/sample: digest buckets are pure codegen expressions; only the
     # count rollups aggregate
     "dataset_split": ["HashAggregate"],
+    # envelope parse: one from_json projection pipelined into the scan —
+    # no Exchange between source and the downstream rollup's partial agg
+    "cdc_parse_envelope": ["HashAggregate|SortAggregate|ObjectHashAggregate"],
+    # stream-stream interval join drains through a StreamingSymmetricHashJoin
+    # inside the streaming query; the returned DataFrame is only the drained
+    # parquet read, so the audit only does generic checks here (the join
+    # plan itself is asserted in tests/test_streaming_interval_join.py)
     # (dedup_incremental has no entry: its per-batch plans execute eagerly
     # inside NearDupIndex.process_batch — the final DataFrame is only the
     # union of checkpointed batch results. The candidate-restricted verify

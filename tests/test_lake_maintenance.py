@@ -200,3 +200,63 @@ def test_compact_noop_when_nothing_fragmented(spark, fragmented):
     out = fragmented.compact()  # everything already single-file
     assert out["buckets_compacted"] == 0
     assert fragmented.last_commit()["seq"] == seq  # no empty commit published
+
+
+def test_fsck_clean_table(spark, lake3):
+    rep = lake3.fsck()
+    assert rep["ok"]
+    assert rep["bad_manifests"] == rep["missing_paths"] == []
+    assert rep["dead_orphan_dirs"] == rep["inflight_dirs"] == []
+
+
+def test_fsck_classifies_and_repairs_crash_debris(spark, lake3):
+    before = {tuple(r) for r in lake3.read().collect()}
+    # dead orphan: a data dir whose seq was won by a published manifest
+    dead = os.path.join(lake3.root, "data", "c00000002x")  # non-numeric: skipped
+    os.makedirs(dead)
+    dead2 = os.path.join(lake3.root, "data", "c00000000")
+    os.makedirs(dead2)
+    # in-flight: seq beyond the ledger head — an unpublished writer
+    inflight = os.path.join(lake3.root, "data", "c00000099")
+    os.makedirs(inflight)
+    # interrupted publish dropping
+    tmp = os.path.join(lake3.root, "_commits", ".tmp-deadwriter")
+    open(tmp, "w").write("{}")
+
+    rep = lake3.fsck()
+    assert rep["ok"]  # debris is not corruption
+    assert rep["dead_orphan_dirs"] == ["c00000000"]
+    assert rep["inflight_dirs"] == ["c00000099"]
+    assert rep["tmp_manifests"] == [".tmp-deadwriter"]
+    assert rep["removed"] == []  # report-only by default
+
+    rep = lake3.fsck(repair=True)
+    assert sorted(rep["removed"]) == ["_commits/.tmp-deadwriter", "data/c00000000"]
+    assert not os.path.exists(dead2) and not os.path.exists(tmp)
+    assert os.path.exists(inflight)  # never touch a possibly-live writer
+    assert {tuple(r) for r in lake3.read().collect()} == before
+    assert lake3.committed_epochs() == {0, 1, 2}
+
+
+def test_fsck_detects_corruption(spark, lake3, tmp_path):
+    import json as _json
+    import shutil as _shutil
+
+    # missing referenced data: delete a bucket dir out from under a manifest
+    victim = None
+    for c in lake3.commit_history():
+        for ptr in c["buckets"].values():
+            victim = os.path.join(lake3.root, ptr["path"])
+            break
+        break
+    _shutil.rmtree(victim)
+    # bad manifest: unparseable JSON appended to the ledger
+    bad = os.path.join(lake3.root, "_commits", "commit-00000077.json")
+    open(bad, "w").write("{not json")
+    rep = lake3.fsck()
+    assert not rep["ok"]
+    assert any(m["file"] == "commit-00000077.json" for m in rep["bad_manifests"])
+    assert rep["missing_paths"]  # the deleted bucket surfaced
+    # repair never deletes referenced data or manifests on a corrupt table
+    rep2 = lake3.fsck(repair=True)
+    assert all(not p.startswith("_commits/commit-") for p in rep2["removed"])
