@@ -66,7 +66,7 @@ from nifi_nlp_processor_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
-from nifi_nlp_processor_spark.runner import CdcEngine
+from nifi_nlp_processor_spark.runner import CdcEngine, MultiTableEngine
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2582,6 +2582,53 @@ FROM ch GROUP BY op
 """
 
 
+def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table binlog fan-out (runner.MultiTableEngine): the change
+    stream is routed by a key-deterministic table assignment (a function
+    of conv_id, so one upsert key can never straddle tables) into two
+    independent lakes, applied epoch-by-epoch through the shared per-table
+    ledgers, and read back as the union of both tables' final snapshots.
+    The oracle is the global LWW final state with the same table tag —
+    equality proves routing loses/duplicates nothing and per-table apply
+    composes to single-stream semantics. Crash-between-publishes resume is
+    proven separately (tests/test_multi_table.py)."""
+    staged = _staged_changes(spark, sf_dir, corrupt=False)
+    ev = spark.read.parquet(staged).withColumn(
+        "table",
+        F.when(
+            F.substring("conv_id", 6, 6).cast("int") % 3 == 0, F.lit("audit")
+        ).otherwise(F.lit("transcripts")),
+    )
+    root = _scratch_root(spark, sf_dir, "cdc_mt")
+    eng = MultiTableEngine(
+        engines={
+            t: CdcEngine(lake=ParquetLakeTable(spark, f"{root}/{t}", n_buckets=8))
+            for t in ("audit", "transcripts")
+        }
+    )
+    eng.apply_epochs(ev, epoch_ids=[0, 1, 2, 3])
+    return (
+        eng.read("audit").withColumn("tbl", F.lit("audit"))
+        .unionByName(
+            eng.read("transcripts").withColumn("tbl", F.lit("transcripts"))
+        )
+        .select("tbl", "conv_id", "turn_idx", "role", "text")
+    )
+
+
+_MULTI_TABLE_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT CASE WHEN CAST(substr(conv_id, 6) AS INT) % 3 = 0
+            THEN 'audit' ELSE 'transcripts' END AS tbl,
+       conv_id, turn_idx, role, text
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (streaming/interval_join.py):
     click→purchase attribution pairs within 30 minutes per user, both join
@@ -2695,6 +2742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "cdc_parse_envelope": q_cdc_parse_envelope,
     "stream_interval_join": q_stream_interval_join,
+    "cdc_multi_table": q_cdc_multi_table,
 }
 
 ORACLES: dict[str, str] = {
@@ -2755,4 +2803,5 @@ ORACLES: dict[str, str] = {
     "dataset_split": _DATASET_SPLIT_SQL,
     "cdc_parse_envelope": _PARSE_ENVELOPE_SQL,
     "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
+    "cdc_multi_table": _MULTI_TABLE_SQL,
 }

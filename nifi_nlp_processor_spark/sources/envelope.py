@@ -49,6 +49,9 @@ def envelope_schema(payload: T.StructType = PAYLOAD_SCHEMA) -> T.StructType:
         T.StructField("source", T.StructType([
             T.StructField("lsn", T.LongType()),
             T.StructField("ts_ms", T.LongType()),
+            # Debezium's source.table — the routing key for multi-table
+            # streams (runner.MultiTableEngine); null for single-table relays
+            T.StructField("table", T.StringType()),
         ])),
     ])
 
@@ -57,12 +60,15 @@ def parse_envelope(
     raw: DataFrame,
     value_col: str = "value",
     payload: T.StructType = PAYLOAD_SCHEMA,
+    with_table: bool = False,
 ) -> DataFrame:
     """JSON envelope column → typed change-event rows.
 
     Returns the engine schema ``(lsn, op, conv_id, turn_idx, role, text,
     tool, ts)``. Unparseable rows come out with NULL keys and flow to the
-    engine's quarantine — callers do not pre-filter.
+    engine's quarantine — callers do not pre-filter. ``with_table=True``
+    appends the envelope's ``source.table`` as a ``table`` column — the
+    routing key for ``MultiTableEngine`` fan-out.
     """
     p = F.from_json(F.col(value_col), envelope_schema(payload))
     img: Column = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
@@ -77,12 +83,15 @@ def parse_envelope(
     ]
     cols += [img[f.name].alias(f.name) for f in payload.fields]
     cols.append(F.timestamp_millis(p["source"]["ts_ms"]).alias("ts"))
+    if with_table:
+        cols.append(p["source"]["table"].alias("table"))
     return raw.select(*cols)
 
 
 def to_envelope_json(
     changes: DataFrame,
     payload_cols: tuple[str, ...] = ("conv_id", "turn_idx", "role", "text", "tool"),
+    table_col: str | None = None,
 ) -> DataFrame:
     """Inverse adapter (and the deterministic test fixture): typed change
     rows → one JSON envelope string per row in the ``value`` column.
@@ -108,6 +117,7 @@ def to_envelope_json(
         F.struct(
             F.col("lsn"),
             F.unix_millis(ts).alias("ts_ms"),
+            *([F.col(table_col).alias("table")] if table_col else []),
         ).alias("source"),
     )
     return changes.select(F.to_json(env).alias("value"))
