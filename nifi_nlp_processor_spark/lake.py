@@ -202,6 +202,7 @@ class ParquetLakeTable:
         key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         bucket_key: str = "conv_id",
         n_buckets: int = 32,
+        stats_cols: tuple[str, ...] = (),
     ):
         """``key_cols``/``bucket_key``/``n_buckets`` are CREATION-time
         properties. They are persisted in ``_table.json`` next to the data
@@ -223,11 +224,13 @@ class ParquetLakeTable:
             self.key_cols = list(props["key_cols"])
             self.bucket_key = props["bucket_key"]
             self.n_buckets = int(props["n_buckets"])
+            self.stats_cols = list(props.get("stats_cols", []))
             self.extra_props = dict(props.get("extra", {}))
         else:
             self.key_cols = list(key_cols)
             self.bucket_key = bucket_key
             self.n_buckets = n_buckets
+            self.stats_cols = list(stats_cols)
             self.extra_props = {}
             self._write_props()
 
@@ -239,6 +242,7 @@ class ParquetLakeTable:
                     "key_cols": self.key_cols,
                     "bucket_key": self.bucket_key,
                     "n_buckets": self.n_buckets,
+                    "stats_cols": self.stats_cols,
                     "extra": self.extra_props,
                 },
                 fh,
@@ -498,10 +502,17 @@ class ParquetLakeTable:
         )
         buckets = dict(prev["buckets"])
         schema_name = prev["schema"]
+        cstats = (
+            self._collect_part_stats(abs_dir, self.current_schema())
+            if self.stats_cols
+            else {}
+        )
         for d in os.listdir(abs_dir):
             if d.startswith(f"{BUCKET_COL}="):
                 b = d.split("=")[1]
                 buckets[b] = {"path": f"{commit_dir}/{d}", "schema": schema_name}
+                if int(b) in cstats:
+                    buckets[b]["stats"] = cstats[int(b)]
         files_after = sum(
             len(_files(buckets[b])) for b in todo
         )
@@ -594,10 +605,17 @@ class ParquetLakeTable:
         )
         watermarks = {str(r[0]): int(r[1]) for r in wm_rows}
         buckets = {}
+        rstats = (
+            self._collect_part_stats(abs_dir, self.current_schema())
+            if self.stats_cols
+            else {}
+        )
         for d in os.listdir(abs_dir):
             if d.startswith(f"{BUCKET_COL}="):
                 b = d.split("=")[1]
                 buckets[b] = {"path": f"{commit_dir}/{d}", "schema": prev["schema"]}
+                if int(b) in rstats:
+                    buckets[b]["stats"] = rstats[int(b)]
         n_rows = int(obs.get["rows"])
         commit = {
             "seq": seq,
@@ -693,14 +711,103 @@ class ParquetLakeTable:
             .drop(META_LSN, META_DELETED, BUCKET_COL)
         )
 
+    def _collect_part_stats(self, abs_dir: str, schema: T.StructType) -> dict:
+        """Per-bucket min/max of the table's ``stats_cols`` over ONE freshly
+        written commit dir (Iceberg's per-file column stats analogue, at
+        part granularity). One aggregation job whose scan Catalyst prunes
+        to (bucket, stats columns) — O(epoch bytes in those columns), never
+        a second pass over the payload. Null-only parts get null bounds
+        and are never skipped (conservative)."""
+        cols = [c for c in self.stats_cols if c in {f.name for f in schema.fields}]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        rows = self.spark.read.parquet(abs_dir).groupBy(BUCKET_COL).agg(*aggs).collect()
+
+        def _j(v):
+            # JSON-safe bound: timestamps/dates stringify via isoformat
+            return v.isoformat() if hasattr(v, "isoformat") else v
+
+        return {
+            int(r[BUCKET_COL]): {
+                c: [_j(r[f"_lo_{c}"]), _j(r[f"_hi_{c}"])] for c in cols
+            }
+            for r in rows
+        }
+
+    def read_where(
+        self, predicates: dict[str, tuple], at_seq: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned snapshot read: ``predicates`` maps a stats column
+        to an inclusive ``(lo, hi)`` range (either end may be None). A
+        bucket is SKIPPED — its files never open — when, for some
+        predicate column, EVERY part of the bucket carries stats whose
+        range is disjoint from the predicate's.
+
+        Whole-bucket granularity is what makes this safe under
+        merge-on-read: pruning an individual delta part could resurrect a
+        superseded row version, but if every part of a bucket is out of
+        range then every key's LATEST version is out of range and the
+        bucket contributes nothing to the filtered result. The surviving
+        buckets are read normally (LWW fold included) and the same range
+        filter is applied row-level, where it also pushes down to the
+        parquet scan — stats pruning only removes whole file sets the scan
+        would otherwise have to open."""
+        c = self.commit_at(at_seq) if at_seq is not None else self.last_commit()
+        if c is None:
+            return self.read(at_seq)
+
+        def _norm(v):
+            # same JSON-safe normalization the stats writer used; ISO-8601
+            # strings order chronologically, so string comparison is sound
+            return v.isoformat() if hasattr(v, "isoformat") else v
+
+        def _disjoint(stats: dict, col: str, lo, hi) -> bool:
+            b = stats.get(col)
+            if not b or b[0] is None or b[1] is None:
+                return False  # no/NULL stats: never skip (conservative)
+            plo, phi = b
+            lo, hi = _norm(lo), _norm(hi)
+            return (hi is not None and plo > hi) or (lo is not None and phi < lo)
+
+        keep = []
+        for b, ptr in c["buckets"].items():
+            parts = self._ptr_parts(ptr)
+            skip = any(
+                all(_disjoint(part.get("stats", {}), col, lo, hi) for part in parts)
+                for col, (lo, hi) in predicates.items()
+            )
+            if not skip:
+                keep.append(b)
+
+        with open(os.path.join(self.root, "_schema", c["schema"])) as fh:
+            schema = T.StructType.fromJson(json.load(fh))
+        full = T.StructType(
+            schema.fields
+            + [
+                T.StructField(META_LSN, T.LongType()),
+                T.StructField(META_DELETED, T.BooleanType()),
+            ]
+        )
+        out = self._read_manifest_buckets(c, sorted(keep), full)
+        out = out.where(~F.col(META_DELETED)).drop(META_LSN, META_DELETED)
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                out = out.where(F.col(col) >= lo)
+            if hi is not None:
+                out = out.where(F.col(col) <= hi)
+        return out
+
     @staticmethod
     def _ptr_parts(ptr: dict) -> list[dict]:
         """All file-set parts a bucket pointer references: the base file
         set plus any merge-on-read delta file sets (each carries the schema
-        version its files were written under)."""
-        return [{"path": ptr["path"], "schema": ptr["schema"]}] + list(
-            ptr.get("deltas", [])
-        )
+        version its files were written under, and its column stats when the
+        table records them)."""
+        base = {k: ptr[k] for k in ("path", "schema", "stats") if k in ptr}
+        return [base] + list(ptr.get("deltas", []))
 
     def _lww_fold(self, df: DataFrame, full: T.StructType) -> DataFrame:
         """Resolve multi-version rows (base + MoR deltas) to one winner per
@@ -1127,8 +1234,11 @@ class ParquetLakeTable:
             for d in os.listdir(abs_dir)
             if d.startswith(f"{BUCKET_COL}=")
         }
+        part_stats = self._collect_part_stats(abs_dir, schema) if self.stats_cols else {}
         for b in present:
             part = {"path": f"{commit_dir}/{BUCKET_COL}={b}", "schema": schema_name}
+            if b in part_stats:
+                part["stats"] = part_stats[b]
             if mor_delta and str(b) in buckets:
                 # append a delta file set; the base pointer (and any earlier
                 # deltas) stay — readers fold, compact() retires

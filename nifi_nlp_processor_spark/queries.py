@@ -2710,6 +2710,42 @@ SELECT conv_id, turn_idx, role, text FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest column statistics + stats-pruned scan (lake.read_where, the
+    Iceberg per-file min/max skipping analogue): the table records per-part
+    (ts, turn_idx) bounds at write time and a range read skips every bucket
+    whose parts all fall outside the range — whole-bucket granularity, which
+    is what keeps skipping safe under merge-on-read LWW folding (a skipped
+    part can never resurrect a superseded version;
+    tests/test_lake_stats.py proves both the skip and the safety). Oracle:
+    the LWW final state filtered by the same range."""
+    root = _scratch_root(spark, sf_dir, "cdc_st")
+    staged = _staged_changes(spark, sf_dir, corrupt=False)
+    lake = ParquetLakeTable(spark, root, n_buckets=16, stats_cols=("ts",))
+    CdcEngine(lake=lake).apply_epochs(
+        spark.read.parquet(staged), epoch_ids=[0, 1, 2, 3]
+    )
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 20)
+    return lake.read_where({"ts": (lo, hi)}).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+
+
+_STATS_PRUNED_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changes
+)
+SELECT conv_id, turn_idx, role, text FROM r
+WHERE rn = 1 AND op <> 'D'
+  AND ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-20'
+"""
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (streaming/interval_join.py):
     click→purchase attribution pairs within 30 minutes per user, both join
@@ -2825,6 +2861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": q_stream_interval_join,
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_txn_aligned": q_cdc_txn_aligned,
+    "cdc_stats_pruned_read": q_cdc_stats_pruned_read,
 }
 
 ORACLES: dict[str, str] = {
@@ -2887,4 +2924,5 @@ ORACLES: dict[str, str] = {
     "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "cdc_multi_table": _MULTI_TABLE_SQL,
     "cdc_txn_aligned": _TXN_ALIGNED_SQL,
+    "cdc_stats_pruned_read": _STATS_PRUNED_SQL,
 }
