@@ -309,11 +309,17 @@ class ParquetLakeTable:
         epoch ledger (``committed_epochs``) and the lineage/watermark
         history, and they are tiny JSON. Time travel to a seq whose data
         was expired raises at read time.
+
+        TAGGED snapshots (``tag``) are pinned: their data survives any
+        ``keep_last`` until the tag is dropped — the Iceberg tag-retention
+        contract that makes a tag a reproducible dataset release, not just
+        a name.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the head is never expired)")
         commits = self.commit_history()
-        retained = commits[-keep_last:]
+        pinned = set(self.tags().values())
+        retained = commits[-keep_last:] + [c for c in commits if c["seq"] in pinned]
         referenced = {
             part["path"].split("/")[1]
             for c in retained
@@ -344,6 +350,38 @@ class ParquetLakeTable:
             "bytes_reclaimed": reclaimed,
             "retained_seqs": [c["seq"] for c in retained],
         }
+
+    def tag(self, name: str, seq: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg tag analogue): the
+        reproducible-dataset primitive — "train-v3 is seq 41" survives any
+        later ingest AND ``expire_snapshots`` until the tag is dropped.
+        Defaults to the current head. Stored in table metadata atomically;
+        re-tagging an existing name moves it."""
+        if seq is None:
+            head = self.last_commit()
+            if head is None:
+                raise ValueError("cannot tag an empty table")
+            seq = head["seq"]
+        self.commit_at(int(seq))  # raises if no such snapshot
+        tags = dict(self.extra_props.get("tags", {}))
+        tags[name] = int(seq)
+        self.set_extra_prop("tags", tags)
+        return int(seq)
+
+    def drop_tag(self, name: str) -> None:
+        tags = dict(self.extra_props.get("tags", {}))
+        tags.pop(name, None)
+        self.set_extra_prop("tags", tags)
+
+    def tags(self) -> dict[str, int]:
+        return {k: int(v) for k, v in self.extra_props.get("tags", {}).items()}
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Snapshot read by tag name — time travel with a stable handle."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"unknown tag {name!r} (have: {sorted(tags)})")
+        return self.read(at_seq=tags[name])
 
     def fsck(self, repair: bool = False) -> dict:
         """Table integrity check (and crash-debris repair) — the ops tool a

@@ -260,3 +260,35 @@ def test_fsck_detects_corruption(spark, lake3, tmp_path):
     # repair never deletes referenced data or manifests on a corrupt table
     rep2 = lake3.fsck(repair=True)
     assert all(not p.startswith("_commits/commit-") for p in rep2["removed"])
+
+
+def test_tags_pin_snapshots_through_expiry(spark, lake3):
+    # tag the post-epoch-0 snapshot as a dataset release
+    lake3.tag("train-v1", seq=1)
+    assert lake3.tags() == {"train-v1": 1}
+    v1 = {(r.conv_id, r.text) for r in lake3.read_tag("train-v1").collect()}
+    assert v1 == {(f"c{i}", f"v0-{i}") for i in range(12)}
+
+    # keep_last=1 would normally reclaim c1 and c2; the tag pins c1
+    out = lake3.expire_snapshots(keep_last=1)
+    assert out["removed_dirs"] == ["c00000002"]
+    assert {(r.conv_id, r.text) for r in lake3.read_tag("train-v1").collect()} == v1
+
+    # dropping the tag releases the pin; the next expiry reclaims c1
+    lake3.drop_tag("train-v1")
+    out = lake3.expire_snapshots(keep_last=1)
+    assert out["removed_dirs"] == ["c00000001"]
+
+
+def test_tag_head_default_move_and_reopen(spark, lake3):
+    seq = lake3.tag("latest")
+    assert seq == lake3.last_commit()["seq"]
+    lake3.tag("latest", seq=2)  # re-tagging moves the name
+    # a fresh handle adopts tags from table metadata
+    reopened = ParquetLakeTable(spark, lake3.root)
+    assert reopened.tags() == {"latest": 2}
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        reopened.read_tag("nope")
+    with _pt.raises(ValueError):
+        reopened.tag("bad", seq=99)
