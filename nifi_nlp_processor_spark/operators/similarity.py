@@ -336,3 +336,83 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-label mean vector: ``(label, n_vectors, centroid)``.
+
+    The mean is ``dim`` scalar ``avg`` aggregates reassembled into an
+    array — one partial+final HashAggregate whose state is ``dim`` doubles
+    per label, entirely whole-stage codegen. That is the shape that
+    survives 10^10 vectors: no explode (which would shuffle ``n×dim``
+    rows), no collect, no UDF. ``dim`` defaults from a 1-row bounded peek.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    aggs = [
+        F.avg(F.col(vec_col)[i].cast("double")).alias(f"_c{i}") for i in range(dim)
+    ]
+    g = emb.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"), *aggs)
+    return g.select(
+        label_col,
+        "n_vectors",
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def nearest_centroid_eval(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification eval — the embedding-quality rollup
+    of a labeled corpus: assign every vector to its highest-cosine label
+    centroid and report per-label ``(n_vectors, n_correct, accuracy,
+    mean_self_cosine)``.
+
+    Two aggregations and one broadcast: centroids (tiny: one row per
+    label) broadcast against the corpus, cosine in codegen, per-vector
+    argmax via ``max_by`` struct ordering (score desc, centroid label asc
+    on ties — deterministic across engines), then a per-label rollup.
+    The corpus is scanned twice (centroid pass + assign pass) and never
+    shuffled except for the two label-keyed partial+final aggregates."""
+    cents = label_centroids(emb, label_col, vec_col).select(
+        F.col(label_col).alias("_clabel"), F.col("centroid").alias("_cv")
+    )
+    scored = with_cosine(
+        emb.select(
+            F.col(id_col),
+            F.col(label_col).alias("_true"),
+            F.col(vec_col).alias("_qv"),
+        ).crossJoin(F.broadcast(cents)),
+        "_qv",
+        "_cv",
+    ).withColumn("score", F.round("score", round_digits))
+    # per-vector winner: highest score, smallest centroid label on ties
+    assign = scored.groupBy(id_col, "_true").agg(
+        F.max_by(
+            F.col("_clabel"), F.struct(F.col("score"), -F.col("_clabel"))
+        ).alias("_pred"),
+        F.max(
+            F.when(F.col("_clabel") == F.col("_true"), F.col("score"))
+        ).alias("_self"),
+    )
+    return (
+        assign.groupBy(F.col("_true").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("_pred") == F.col("_true")).cast("long")).alias("n_correct"),
+            F.round(F.avg("_self"), 6).alias("mean_self_cosine"),
+        )
+        .withColumn(
+            "accuracy",
+            F.round(F.col("n_correct") / F.col("n_vectors"), 6),
+        )
+    )

@@ -1733,6 +1733,55 @@ SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5
 # Text analysis
 # ---------------------------------------------------------------------------
 
+def q_embed_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval over the labeled embedding
+    corpus (operators/similarity.py ``nearest_centroid_eval``): per-label
+    mean vectors as dim scalar avg aggregates (no explode — n×dim rows
+    never shuffle), centroids broadcast back against the corpus, cosine in
+    codegen, per-vector argmax via max_by, per-label accuracy rollup. The
+    oracle recomputes centroids and assignments through an
+    unnest-with-ordinality join."""
+    from nifi_nlp_processor_spark.operators.similarity import nearest_centroid_eval
+
+    emb = load(spark, sf_dir, "embeddings")
+    return nearest_centroid_eval(emb).orderBy("label")
+
+
+_CENTROID_EVAL_SQL = """
+WITH u AS (
+  -- parallel unnests zip in DuckDB: element + its ordinal
+  SELECT vec_id, label,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+c AS (
+  SELECT label AS clabel, i, avg(v) AS cv FROM u GROUP BY 1, 2
+),
+s AS (
+  SELECT u.vec_id, u.label AS true_label, c.clabel,
+         round(sum(u.v * c.cv) / (sqrt(sum(u.v * u.v)) * sqrt(sum(c.cv * c.cv))), 6) AS score
+  FROM u JOIN c USING (i)
+  GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT vec_id, true_label, clabel AS pred, self_score FROM (
+    SELECT s.*,
+      max(CASE WHEN clabel = true_label THEN score END)
+        OVER (PARTITION BY vec_id) AS self_score,
+      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, clabel ASC) AS rn
+    FROM s
+  ) WHERE rn = 1
+)
+SELECT true_label AS label,
+       count(*) AS n_vectors,
+       sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS n_correct,
+       round(avg(self_score), 6) AS mean_self_cosine,
+       round(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
+FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return quality_stats(docs).select(
@@ -2837,6 +2886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embed_cosine": q_dedup_embed_cosine,
+    "embed_centroid_eval": q_embed_centroid_eval,
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id_pred": q_lang_id_pred,
@@ -2900,6 +2950,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": _ann_lsh_sql(),
     "ann_ivf_topk": _ANN_IVF_SQL,
     "dedup_embed_cosine": _embed_near_sql(),
+    "embed_centroid_eval": _CENTROID_EVAL_SQL,
     "text_quality": _QUALITY_SQL,
     "token_count_by_lang": _TOKEN_COUNT_SQL,
     "lang_id_pred": _LANG_ID_SQL,

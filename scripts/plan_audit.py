@@ -76,6 +76,10 @@ EXPECT = {
     # envelope parse: one from_json projection pipelined into the scan —
     # no Exchange between source and the downstream rollup's partial agg
     "cdc_parse_envelope": ["HashAggregate|SortAggregate|ObjectHashAggregate"],
+    # stats-pruned range read: besides the manifest-level bucket skipping
+    # (asserted via inputFiles in tests/test_lake_stats.py), the row-level
+    # range must reach the parquet scan of the surviving buckets
+    "cdc_stats_pruned_read": ["PushedFilters: \\[.*GreaterThanOrEqual\\(ts"],
     # stream-stream interval join drains through a StreamingSymmetricHashJoin
     # inside the streaming query; the returned DataFrame is only the drained
     # parquet read, so the audit only does generic checks here (the join
