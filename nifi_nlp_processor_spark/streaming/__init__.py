@@ -11,3 +11,8 @@ from nifi_nlp_processor_spark.streaming.interval_join import (  # noqa: F401
     attribution_pairs,
     interval_join,
 )
+from nifi_nlp_processor_spark.streaming.metrics import (  # noqa: F401
+    ProgressLedger,
+    progress_ledger,
+    read_ledger,
+)
