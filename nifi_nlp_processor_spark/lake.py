@@ -39,11 +39,30 @@ parquet "mini-lake" behind one interface (SURVEY §7 M1 fallback):
   ``ALTER TABLE ADD COLUMN`` / type-promotion semantics, SURVEY §4.2 #3).
 * **LWW merge rule** — max ``lsn`` wins per (conv_id, turn_idx), the
   distributed form of the reference's max-frequency last-writer-wins upsert
-  (PontusDiscoveryDBClassifierProcessor.java:253-273). Implemented as
-  ``max(struct(lsn, ...))`` aggregation, which Spark executes as
-  partial+final hash aggregation — the map-side combine absorbs hot-key
-  duplicates before the shuffle, so a mega-conversation does not serialize
-  one reducer.
+  (PontusDiscoveryDBClassifierProcessor.java:253-273). Two physical
+  strategies over the same total order (``lww_payload_order``):
+
+  - ``lww="window"`` (default) — ONE shuffle per epoch: rows are
+    hash-partitioned straight into the (bucket, write-salt) layout the
+    file write needs, and the winner per key is ``row_number()==1`` over a
+    window partitioned by (bucket, salt, key) ordered by the LWW order
+    descending. Hash partitioning on (bucket, salt) — both functions of
+    the key — already clusters every key, so the window adds a sort but NO
+    second exchange, and the write inherits the layout as-is. Fewer stage
+    barriers and ~30% less shuffled data than the agg strategy at typical
+    duplicate rates (measured: 1.15-1.25× faster end-to-end at 2 AND 8
+    cores, and a better 2→8 scaling slope — see BENCH/BASELINE.md).
+  - ``lww="agg"`` — ``max_by(payload, order)`` partial+final aggregation,
+    then a second exchange into the write layout. The map-side combine
+    folds per-key duplicates BEFORE the shuffle, so it stays the right
+    choice when single keys receive duplicate-delivery storms (thousands
+    of copies of one (conv_id, turn_idx) per epoch); at ordinary dup
+    rates the combine saves less than the extra exchange costs.
+
+  A mega-conversation (hot conv_id, many distinct keys) is handled the
+  same way by both: the write salt splits it across WRITE_SALT tasks.
+  Both strategies resolve by the identical order struct, so winners —
+  tie-breaks included — are bit-identical (asserted in tests).
 
 Single-writer assumption: one runner commits at a time (the driver of the
 streaming query). Concurrent writers would need the optimistic-retry loop
@@ -59,7 +78,7 @@ import tempfile
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1031,6 +1050,7 @@ class ParquetLakeTable:
         op_col: str = "op",
         probe_src: DataFrame | None = None,
         mode: str = "cow",
+        lww: str = "window",
     ) -> MergeMetrics:
         """MERGE src (one epoch's change events, may contain intra-batch
         duplicates) into the table under max-LSN LWW. Idempotent per epoch.
@@ -1071,6 +1091,8 @@ class ParquetLakeTable:
         """
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge mode {mode!r} (use 'cow' or 'mor')")
+        if lww not in ("window", "agg"):
+            raise ValueError(f"unknown lww strategy {lww!r} (use 'window' or 'agg')")
         t0 = time.time()
         if epoch_id in self.committed_epochs():
             return MergeMetrics(epoch_id=epoch_id, skipped=True)
@@ -1173,29 +1195,71 @@ class ParquetLakeTable:
             merged = merged.unionByName(p.withColumn("_src", F.lit(False)))
 
         non_key = [f.name for f in schema.fields if f.name not in self.key_cols]
-        # LWW: max_by(payload, (lsn, deleted, content-hash)) — partial+final
-        # aggregation, map-side combine absorbs per-key duplicates
-        # (skew-safe, SURVEY §4.2 #1). Expressions shared with the MoR read
-        # fold (lww_payload_order) so both paths resolve identically.
+        # LWW resolution — the same total order (lww_payload_order, shared
+        # with the MoR read fold so staged folds agree with single-pass
+        # merges) executed by one of two physical strategies; see the module
+        # docstring for the full trade-off.
         payload, order = lww_payload_order(non_key)
-        winner = F.max_by(payload, order).alias("_w")
-        flags = [
-            F.max(F.when(F.col("_src"), F.col(META_LSN))).alias("_src_lsn"),
-            F.max(F.when(~F.col("_src"), F.col(META_LSN))).alias("_tgt_lsn"),
-            F.max(F.when(~F.col("_src"), F.col(META_DELETED))).alias("_tgt_deleted"),
-        ]
-        agg = merged.groupBy(*self.key_cols, BUCKET_COL).agg(winner, *flags)
+        # Write salting: a mega-conversation concentrates in one bucket; a
+        # one-task-per-bucket layout would serialize it and cap scaling at
+        # any core count (SURVEY §4.2 #1). Hash-salt on the full key splits
+        # a hot bucket across WRITE_SALT tasks/files — file layout stays
+        # deterministic (fixed salt count, content-hash partitioning), and
+        # readers are layout-agnostic (they list the bucket directory).
+        salt = F.pmod(F.xxhash64(*self.key_cols), F.lit(WRITE_SALT))
+        if lww == "window":
+            # One shuffle, straight into the write layout: hash partitioning
+            # on (bucket, salt) clusters every key (both are functions of
+            # the key columns), which satisfies the window's required
+            # distribution over (bucket, salt, *key) — Spark adds only the
+            # in-partition sort, no second exchange, and the parquet write
+            # below inherits the layout unchanged. row_number()==1 over the
+            # LWW order descending is argmax(order), i.e. exactly the
+            # max_by winner; the flag aggregates ride the same sorted frame.
+            part = merged.withColumn("_salt", salt).repartition(
+                len(touched) * WRITE_SALT, F.col(BUCKET_COL), F.col("_salt")
+            )
+            w = Window.partitionBy(BUCKET_COL, "_salt", *self.key_cols).orderBy(
+                F.desc(order)
+            )
+            wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            out = (
+                part.select(
+                    *self.key_cols,
+                    F.col(BUCKET_COL),
+                    *[F.col(c) for c in non_key],
+                    F.col(META_LSN),
+                    F.col(META_DELETED),
+                    F.row_number().over(w).alias("_rn"),
+                    F.max(F.when(F.col("_src"), F.col(META_LSN))).over(wf).alias("_src_lsn"),
+                    F.max(F.when(~F.col("_src"), F.col(META_LSN))).over(wf).alias("_tgt_lsn"),
+                    F.max(F.when(~F.col("_src"), F.col(META_DELETED))).over(wf).alias("_tgt_deleted"),
+                )
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            # max_by(payload, order) partial+final aggregation: map-side
+            # combine folds per-key duplicate storms before the shuffle
+            # (then a second exchange lays the result out for the write).
+            winner = F.max_by(payload, order).alias("_w")
+            flags = [
+                F.max(F.when(F.col("_src"), F.col(META_LSN))).alias("_src_lsn"),
+                F.max(F.when(~F.col("_src"), F.col(META_LSN))).alias("_tgt_lsn"),
+                F.max(F.when(~F.col("_src"), F.col(META_DELETED))).alias("_tgt_deleted"),
+            ]
+            agg = merged.groupBy(*self.key_cols, BUCKET_COL).agg(winner, *flags)
 
-        out = agg.select(
-            *self.key_cols,
-            F.col(BUCKET_COL),
-            *[F.col(f"_w.{c}").alias(c) for c in non_key],
-            F.col(f"_w.{META_LSN}").alias(META_LSN),
-            F.col(f"_w.{META_DELETED}").alias(META_DELETED),
-            F.col("_src_lsn"),
-            F.col("_tgt_lsn"),
-            F.col("_tgt_deleted"),
-        )
+            out = agg.select(
+                *self.key_cols,
+                F.col(BUCKET_COL),
+                *[F.col(f"_w.{c}").alias(c) for c in non_key],
+                F.col(f"_w.{META_LSN}").alias(META_LSN),
+                F.col(f"_w.{META_DELETED}").alias(META_DELETED),
+                F.col("_src_lsn"),
+                F.col("_tgt_lsn"),
+                F.col("_tgt_deleted"),
+            )
 
         obs = Observation(f"merge-{epoch_id}")
         if mor_delta:
@@ -1240,18 +1304,18 @@ class ParquetLakeTable:
         seq = (prev["seq"] + 1) if prev else 1
         commit_dir = f"data/c{seq:08d}"
         abs_dir = os.path.join(self.root, commit_dir)
-        # Write salting: a mega-conversation concentrates in one bucket; a
-        # one-task-per-bucket write would serialize it and cap scaling at
-        # any core count (SURVEY §4.2 #1). Hash-salt on turn_idx splits a
-        # hot bucket across WRITE_SALT tasks/files — file layout stays
-        # deterministic (fixed salt count, content-hash partitioning), and
-        # readers are layout-agnostic (they list the bucket directory).
-        salt = F.pmod(F.xxhash64(*self.key_cols), F.lit(WRITE_SALT))
         t_write = time.time()
+        writer = out
+        if lww == "agg":
+            # the agg output is distributed by the grouping hash; lay it out
+            # by (bucket, salt) for the write. (The window strategy already
+            # produced exactly this layout, sorted by key — T3 stable
+            # in-partition order — so it writes as-is with no exchange.)
+            writer = out.repartition(
+                len(touched) * WRITE_SALT, F.col(BUCKET_COL), salt
+            ).sortWithinPartitions(*self.key_cols)
         (
-            out.repartition(len(touched) * WRITE_SALT, F.col(BUCKET_COL), salt)
-            .sortWithinPartitions(*self.key_cols)
-            .write.partitionBy(BUCKET_COL)
+            writer.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(abs_dir)
         )

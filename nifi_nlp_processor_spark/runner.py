@@ -54,6 +54,10 @@ class CdcEngine:
     # per-bucket LWW-deduped deltas without reading the target
     # (write-optimal — O(batch) bytes/epoch; see lake.merge_into)
     merge_mode: str = "cow"
+    # "window" = one-shuffle merge (default); "agg" = max_by partial+final
+    # aggregation whose map-side combine absorbs per-key duplicate storms
+    # (see lake module docstring for the trade-off)
+    lww_strategy: str = "window"
     # MoR deltas accumulate until compaction and the read-time fold scans
     # every delta in a bucket's chain; with a threshold set, the engine
     # compacts as soon as any bucket's chain reaches it, so read cost stays
@@ -107,7 +111,8 @@ class CdcEngine:
         # would add a second full shuffle per epoch for nothing (the
         # operator remains available for standalone use).
         metrics = self.lake.merge_into(
-            valid, epoch_id, probe_src=probe_src, mode=self.merge_mode
+            valid, epoch_id, probe_src=probe_src, mode=self.merge_mode,
+            lww=self.lww_strategy,
         )
         res = EpochResult(epoch_id=epoch_id, merge=metrics, quarantined=n_bad)
         if self.auto_compact_deltas is not None and not metrics.skipped:
@@ -149,7 +154,9 @@ class CdcEngine:
         src = snapshot.withColumn(
             "lsn", F.lit(int(as_of_lsn)).cast("long")
         ).withColumn("op", F.lit("I"))
-        metrics = self.lake.merge_into(src, epoch_id, mode=self.merge_mode)
+        metrics = self.lake.merge_into(
+            src, epoch_id, mode=self.merge_mode, lww=self.lww_strategy
+        )
         self.lake.set_extra_prop("bootstrap_lsn", int(as_of_lsn))
         res = EpochResult(epoch_id=epoch_id, merge=metrics)
         self.results.append(res)

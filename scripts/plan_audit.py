@@ -108,14 +108,18 @@ def main() -> None:
         "relies on (pushdown, pruning, broadcast, partial aggregation, no",
         "accidental cartesian joins). ❌ lines would fail CI-style review.",
         "",
-        "Known-and-accepted plan shape: the LWW merge's `max_by(struct, lsn)`",
-        "lowers to SortAggregate (struct-typed aggregation buffers are not",
-        "hash-aggregable in Spark). It still runs partial+final with map-side",
-        "combine — the sort is per-partition over already-shuffled keys, so",
-        "the skew/shuffle story is unchanged; a HashAggregate-able encoding",
-        "(pack (lsn, payload-pointer) into a binary max) would buy a",
-        "per-partition sort at the cost of a second payload join — not worth",
-        "it while the sort is not the bottleneck in any measured epoch.",
+        "Known-and-accepted plan shapes: (a) the default CoW merge resolves",
+        "LWW with a single exchange — repartition into the (bucket, salt)",
+        "write layout, then `row_number()==1` over a window partitioned by",
+        "(bucket, salt, key); hash partitioning on the subset satisfies the",
+        "window's clustering, so Spark adds only an in-partition sort and",
+        "the parquet write inherits the layout (asserted in",
+        "tests/test_lake_mor.py::test_window_lww_single_shuffle_plan).",
+        "(b) The MoR read fold and the `lww=\"agg\"` strategy use",
+        "`max_by(struct, order)`, which lowers to SortAggregate",
+        "(struct-typed aggregation buffers are not hash-aggregable); it",
+        "still runs partial+final with map-side combine, which is exactly",
+        "why `agg` remains selectable for per-key duplicate-storm inputs.",
         "",
     ]
     failures = 0

@@ -295,3 +295,50 @@ def test_table_changes_over_mor_commits(spark, tmp_path):
     )
     got = {tuple(r) for r in delta.collect()}
     assert got == {("c9", 9, "insert", "new-turn")}
+
+
+def test_window_lww_equals_agg_lww(spark, tmp_path):
+    """The one-shuffle window strategy (default) and the max_by aggregation
+    strategy must produce bit-identical lakes — live rows, tombstones,
+    winner LSNs, and same-LSN tie-breaks — because both execute the same
+    total order (lww_payload_order). Runs the full mixed stream (insert /
+    update / delete / out-of-order / duplicate) plus a same-LSN tie."""
+    tie = [("t", 0, 7, "U", "payload-A", 0), ("t", 0, 7, "U", "payload-B", 1)]
+    stream = _STREAM + tie
+    lakes = {}
+    for strat in ("window", "agg"):
+        lake = ParquetLakeTable(spark, str(tmp_path / strat), n_buckets=4)
+        engine = CdcEngine(lake=lake, lww_strategy=strat)
+        engine.apply_epochs(_events(spark, stream), epoch_ids=[0, 1, 2])
+        lakes[strat] = lake
+    assert _raw_state(lakes["window"]) == _raw_state(lakes["agg"])
+    assert _state(lakes["window"]) == _state(lakes["agg"])
+
+
+def test_window_lww_single_shuffle_plan(spark, tmp_path):
+    """Scale property of the default strategy: the merge output's executed
+    plan carries exactly ONE exchange above the source scans — the window
+    resolution and the write layout share it (the agg strategy needs two).
+    Asserted on the logical frame merge_into builds internally, reproduced
+    here the same way (union → repartition(bucket, salt) → window)."""
+    from pyspark.sql import Window
+    from nifi_nlp_processor_spark.lake import (
+        META_DELETED, META_LSN, WRITE_SALT, lww_payload_order,
+    )
+
+    src = _events(spark, _STREAM).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col("lsn").cast("long").alias(META_LSN),
+        (F.col("op") == "D").alias(META_DELETED),
+    ).withColumn("_b", F.pmod(F.xxhash64("conv_id"), F.lit(4)))
+    _, order = lww_payload_order(["role", "text", "tool", "ts"])
+    salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(WRITE_SALT))
+    part = src.withColumn("_salt", salt).repartition(
+        4 * WRITE_SALT, F.col("_b"), F.col("_salt")
+    )
+    w = Window.partitionBy("_b", "_salt", "conv_id", "turn_idx").orderBy(
+        F.desc(order)
+    )
+    out = part.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
