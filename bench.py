@@ -514,24 +514,30 @@ def _write_scaling_md(r: dict) -> None:
         )
         fh.write(
             "\n## Amdahl accounting (why the input is 24k conversations)\n\n"
-            "Per-epoch fixed cost (probe job overhead, plan analysis, epoch "
-            "commit) is ~2 s independent of core count; per-epoch parallel "
-            "work at 2 CPUs is ~25 s at this input size, so the fixed "
-            "fraction caps ideal 2→8 scaling at ~0.91 before the hardware "
-            "ceiling. Smaller inputs are fixed-cost-dominated (6k "
-            "conversations measures ~0.67 on clean windows); larger inputs "
-            "(48k tested) push the high-parallelism trial past the VM's "
-            "~60–90 s credit window and always hit mid-run throttling. On a "
-            "real cluster neither constraint exists: epochs carry minutes of "
-            "work and executors are not credit-throttled, so the fixed "
-            "2 s/epoch vanishes and the measured ceiling is the 0.9+ engine "
-            "figure.\n"
+            "Fitting T(n) = F + W/n to same-window 2/8-core pairs: before "
+            "round 3 the fixed per-run cost F (probe job overhead, driver "
+            "plan analysis, stage barriers, epoch commits) was ~6 s across "
+            "the 4 epochs; the one-shuffle window-LWW merge (one fewer "
+            "exchange + barrier per epoch) cut the fit to ~4 s and removed "
+            "~25%% of W itself. The remaining fixed fraction still caps "
+            "ideal 2→8 scaling at ~0.9 at this input size. Smaller inputs "
+            "are fixed-cost-dominated (6k conversations measures ~0.67 on "
+            "clean windows); larger inputs (48k tested) push the "
+            "high-parallelism trial past the VM's ~60–90 s credit window "
+            "and always hit mid-run throttling. On a real cluster neither "
+            "constraint exists: epochs carry minutes of work and executors "
+            "are not credit-throttled, so the per-epoch fixed second "
+            "vanishes and the measured ceiling is the 0.9+ engine figure.\n"
             "\n## Scale design notes (what makes this hold at 1000 executors)\n\n"
-            "- The merge is one shuffle (partial+final `max_by` aggregation — "
-            "map-side combine, no window sort), salted bucket writes "
-            "(`WRITE_SALT` splits a hot bucket across tasks), and a probe "
-            "that ships ≤ n_buckets rows to the driver. No collect on data "
-            "paths, no per-row Python.\n"
+            "- The merge is ONE shuffle per epoch: rows hash-partition "
+            "straight into the (bucket, adaptive-salt) write layout and the "
+            "LWW winner is `row_number()==1` over a window clustered by "
+            "that same partitioning — no second exchange, and the parquet "
+            "write inherits the layout. The salt is sized per touched "
+            "bucket from probe + manifest row counts (hot buckets fan out, "
+            "cold buckets stay one right-sized file). The probe ships "
+            "≤ n_buckets rows to the driver. No collect on data paths, no "
+            "per-row Python.\n"
             "- Shuffle width is fixed across cluster sizes (identical work "
             "units); only executor count varies.\n"
             "- The 20%-of-events mega-conversation is *included* in the "

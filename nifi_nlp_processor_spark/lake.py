@@ -60,9 +60,13 @@ parquet "mini-lake" behind one interface (SURVEY §7 M1 fallback):
     rates the combine saves less than the extra exchange costs.
 
   A mega-conversation (hot conv_id, many distinct keys) is handled the
-  same way by both: the write salt splits it across WRITE_SALT tasks.
-  Both strategies resolve by the identical order struct, so winners —
-  tie-breaks included — are bit-identical (asserted in tests).
+  same way by both: an ADAPTIVE write salt splits each touched bucket
+  across as many tasks/files as its rewrite size warrants (probe row
+  counts + manifest-recorded per-part rows, ROWS_PER_WRITE_TASK per task,
+  capped at MAX_WRITE_SALT) — a hot bucket fans out, a cold bucket stays
+  one right-sized file instead of 8 tiny ones. Both strategies resolve by
+  the identical order struct, so winners — tie-breaks included — are
+  bit-identical (asserted in tests).
 
 Single-writer assumption: one runner commits at a time (the driver of the
 streaming query). Concurrent writers would need the optimistic-retry loop
@@ -87,6 +91,13 @@ META_DELETED = "_deleted"
 BUCKET_COL = "_b"
 # write-path salt fan-out per bucket (skewed-bucket parallelism; see merge_into)
 WRITE_SALT = 8
+# adaptive write-salt sizing (merge_into): one write task/file per this many
+# rows of a bucket's rewrite, capped — at ~1 KB/row this targets the
+# 100-200 MB parquet files a 100 TB table wants, instead of salting every
+# cold bucket 8× (maintenance rewrites keep the fixed WRITE_SALT: they
+# always rewrite whole buckets, where a fixed split is the point)
+ROWS_PER_WRITE_TASK = 100_000
+MAX_WRITE_SALT = 64
 
 # Iceberg-style type promotions we accept when an epoch widens a column.
 # Names are DataType.simpleString() values ("int", "bigint", ...).
@@ -564,10 +575,15 @@ class ParquetLakeTable:
             if self.stats_cols
             else {}
         )
+        crows = self._part_rows(abs_dir)
         for d in os.listdir(abs_dir):
             if d.startswith(f"{BUCKET_COL}="):
                 b = d.split("=")[1]
-                buckets[b] = {"path": f"{commit_dir}/{d}", "schema": schema_name}
+                buckets[b] = {
+                    "path": f"{commit_dir}/{d}",
+                    "schema": schema_name,
+                    "rows": crows.get(int(b), 0),
+                }
                 if int(b) in cstats:
                     buckets[b]["stats"] = cstats[int(b)]
         files_after = sum(
@@ -667,10 +683,15 @@ class ParquetLakeTable:
             if self.stats_cols
             else {}
         )
+        rrows = self._part_rows(abs_dir)
         for d in os.listdir(abs_dir):
             if d.startswith(f"{BUCKET_COL}="):
                 b = d.split("=")[1]
-                buckets[b] = {"path": f"{commit_dir}/{d}", "schema": prev["schema"]}
+                buckets[b] = {
+                    "path": f"{commit_dir}/{d}",
+                    "schema": prev["schema"],
+                    "rows": rrows.get(int(b), 0),
+                }
                 if int(b) in rstats:
                     buckets[b]["stats"] = rstats[int(b)]
         n_rows = int(obs.get["rows"])
@@ -794,6 +815,31 @@ class ParquetLakeTable:
             for r in rows
         }
 
+    @staticmethod
+    def _part_rows(abs_dir: str) -> dict[int, int]:
+        """Per-bucket row counts of one freshly written commit dir, read
+        from the parquet footers — driver-side, no Spark job (the Iceberg
+        manifest row-count analogue). Sizes the NEXT epoch's adaptive write
+        salt; a missing/unreadable footer degrades to 0 (salt sized by the
+        batch alone), never fails the commit."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        for d in os.listdir(abs_dir):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(d.split("=")[1])
+            bdir = os.path.join(abs_dir, d)
+            n = 0
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    try:
+                        n += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+                    except Exception:
+                        pass
+            out[b] = n
+        return out
+
     def read_where(
         self, predicates: dict[str, tuple], at_seq: int | None = None
     ) -> DataFrame:
@@ -863,7 +909,7 @@ class ParquetLakeTable:
         set plus any merge-on-read delta file sets (each carries the schema
         version its files were written under, and its column stats when the
         table records them)."""
-        base = {k: ptr[k] for k in ("path", "schema", "stats") if k in ptr}
+        base = {k: ptr[k] for k in ("path", "schema", "stats", "rows") if k in ptr}
         return [base] + list(ptr.get("deltas", []))
 
     def _lww_fold(self, df: DataFrame, full: T.StructType) -> DataFrame:
@@ -1121,12 +1167,13 @@ class ParquetLakeTable:
             (F.col(op_col) == "D").alias(META_DELETED),
         ).withColumn(BUCKET_COL, self._bucket_expr())
 
-        # Probe job: touched buckets AND per-bucket source LSN maxima
-        # (≤ n_buckets rows to the driver). Runs on a two-column projection
-        # of the (pre-enrichment, when provided) batch — Catalyst prunes
-        # the scan to the probe's columns, so this pass is much cheaper
-        # than materializing the full batch, and the merge job below reads
-        # the source through its own (columnar, cached-by-OS) scan.
+        # Probe job: touched buckets, per-bucket source LSN maxima, and
+        # per-bucket batch row counts (≤ n_buckets rows to the driver). Runs
+        # on a two-column projection of the (pre-enrichment, when provided)
+        # batch — Catalyst prunes the scan to the probe's columns, so this
+        # pass is much cheaper than materializing the full batch, and the
+        # merge job below reads the source through its own (columnar,
+        # cached-by-OS) scan. The counts size the adaptive write salt below.
         t_probe = time.time()
         pdf = probe_src if probe_src is not None else src
         # Null-lsn rows are dropped from the probe defensively: a row whose
@@ -1134,14 +1181,14 @@ class ParquetLakeTable:
         # produce a None watermark (int(None) would fail after the data
         # write, before the commit — deterministically on every retry).
         probe = {
-            r[0]: r[1]
+            r[0]: (r[1], r[2])
             for r in pdf.where(F.col(lsn_col).isNotNull())
             .select(
                 self._bucket_expr().alias(BUCKET_COL),
                 F.col(lsn_col).cast("long").alias(META_LSN),
             )
             .groupBy(BUCKET_COL)
-            .agg(F.max(META_LSN))
+            .agg(F.max(META_LSN), F.count(F.lit(1)))
             .collect()
         }
         touched = sorted(probe)
@@ -1200,13 +1247,45 @@ class ParquetLakeTable:
         # merges) executed by one of two physical strategies; see the module
         # docstring for the full trade-off.
         payload, order = lww_payload_order(non_key)
-        # Write salting: a mega-conversation concentrates in one bucket; a
-        # one-task-per-bucket layout would serialize it and cap scaling at
-        # any core count (SURVEY §4.2 #1). Hash-salt on the full key splits
-        # a hot bucket across WRITE_SALT tasks/files — file layout stays
-        # deterministic (fixed salt count, content-hash partitioning), and
+        # ADAPTIVE write salting: a mega-conversation concentrates in one
+        # bucket; a one-task-per-bucket layout would serialize it and cap
+        # scaling at any core count (SURVEY §4.2 #1). Hash-salting on the
+        # full key splits a hot bucket across tasks/files — but a FIXED salt
+        # multiplies the file count of every cold bucket too (at 4096
+        # buckets × salt 8 that is 32k files per epoch, most of them tiny).
+        # Instead each touched bucket gets its own salt sized from the rows
+        # it will write: the batch's per-bucket counts (probe job, already
+        # paid) plus the target rows the CoW rewrite re-emits (per-part
+        # "rows" recorded in the manifest at write time — the Iceberg
+        # manifest row-count analogue; absent on pre-upgrade manifests ⇒
+        # sized by batch only). Layout stays deterministic (salt counts are
+        # a function of probe + manifest, content-hash partitioning), and
         # readers are layout-agnostic (they list the bucket directory).
-        salt = F.pmod(F.xxhash64(*self.key_cols), F.lit(WRITE_SALT))
+        prev_rows = {}
+        if prev and not mor_delta:
+            for b in touched:
+                ptr = prev["buckets"].get(str(b))
+                if ptr:
+                    prev_rows[b] = sum(
+                        int(part.get("rows", 0)) for part in self._ptr_parts(ptr)
+                    )
+        salts = {
+            b: min(
+                MAX_WRITE_SALT,
+                max(1, -(-(n + prev_rows.get(b, 0)) // ROWS_PER_WRITE_TASK)),
+            )
+            for b, (_m, n) in probe.items()
+        }
+        n_parts = max(1, sum(salts.values()))
+        salt_of_bucket = F.element_at(
+            F.create_map(
+                *[F.lit(x) for b, s in sorted(salts.items()) for x in (b, s)]
+            ),
+            F.col(BUCKET_COL),
+        )
+        # rows whose bucket is unprobed (null-lsn) get a null salt: they
+        # still hash to a stable partition and write into their bucket dir
+        salt = F.pmod(F.xxhash64(*self.key_cols), salt_of_bucket)
         if lww == "window":
             # One shuffle, straight into the write layout: hash partitioning
             # on (bucket, salt) clusters every key (both are functions of
@@ -1217,7 +1296,7 @@ class ParquetLakeTable:
             # LWW order descending is argmax(order), i.e. exactly the
             # max_by winner; the flag aggregates ride the same sorted frame.
             part = merged.withColumn("_salt", salt).repartition(
-                len(touched) * WRITE_SALT, F.col(BUCKET_COL), F.col("_salt")
+                n_parts, F.col(BUCKET_COL), F.col("_salt")
             )
             w = Window.partitionBy(BUCKET_COL, "_salt", *self.key_cols).orderBy(
                 F.desc(order)
@@ -1312,7 +1391,7 @@ class ParquetLakeTable:
             # produced exactly this layout, sorted by key — T3 stable
             # in-partition order — so it writes as-is with no exchange.)
             writer = out.repartition(
-                len(touched) * WRITE_SALT, F.col(BUCKET_COL), salt
+                n_parts, F.col(BUCKET_COL), salt
             ).sortWithinPartitions(*self.key_cols)
         (
             writer.write.partitionBy(BUCKET_COL)
@@ -1326,7 +1405,7 @@ class ParquetLakeTable:
         # bucket's new watermark is max(previous watermark, batch maximum) —
         # derived from the probe job, no extra pass over the written files
         new_watermarks = dict(prev.get("watermarks", {})) if prev else {}
-        for b, src_max in probe.items():
+        for b, (src_max, _n) in probe.items():
             cur = new_watermarks.get(str(b))
             new_watermarks[str(b)] = max(int(src_max), int(cur)) if cur is not None else int(src_max)
 
@@ -1337,8 +1416,13 @@ class ParquetLakeTable:
             if d.startswith(f"{BUCKET_COL}=")
         }
         part_stats = self._collect_part_stats(abs_dir, schema) if self.stats_cols else {}
+        part_rows = self._part_rows(abs_dir)
         for b in present:
-            part = {"path": f"{commit_dir}/{BUCKET_COL}={b}", "schema": schema_name}
+            part = {
+                "path": f"{commit_dir}/{BUCKET_COL}={b}",
+                "schema": schema_name,
+                "rows": part_rows.get(b, 0),
+            }
             if b in part_stats:
                 part["stats"] = part_stats[b]
             if mor_delta and str(b) in buckets:

@@ -120,10 +120,12 @@ def test_expire_keep_last_zero_rejected(lake3):
 
 @pytest.fixture()
 def fragmented(spark, tmp_path):
-    """Three epochs over the same keys plus a delete — every touched bucket
-    accretes salted files per epoch, so compaction has real work."""
+    """Three merge-on-read epochs over the same keys plus a delete — every
+    touched bucket accretes delta file sets per epoch, so compaction has
+    real work. (CoW epochs no longer fragment: the adaptive write salt
+    gives a small bucket exactly one file per rewrite.)"""
     lake = ParquetLakeTable(spark, str(tmp_path / "clake"), n_buckets=2)
-    engine = CdcEngine(lake=lake)
+    engine = CdcEngine(lake=lake, merge_mode="mor")
     e0 = [(f"c{i}", t, 100 + i * 10 + t, f"v0-{i}-{t}", 0) for i in range(6) for t in range(3)]
     e1 = [(f"c{i}", 0, 300 + i, f"v1-{i}", 1) for i in range(6)]
     engine.apply_epochs(_events(spark, e0), epoch_ids=[0])
@@ -140,8 +142,9 @@ def _bucket_file_count(lake):
     c = lake.last_commit()
     n = 0
     for ptr in c["buckets"].values():
-        d = os.path.join(lake.root, ptr["path"])
-        n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        for part in lake._ptr_parts(ptr):  # base + MoR delta file sets
+            d = os.path.join(lake.root, part["path"])
+            n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
     return n
 
 
