@@ -98,6 +98,12 @@ WRITE_SALT = 8
 # always rewrite whole buckets, where a fixed split is the point)
 ROWS_PER_WRITE_TASK = 100_000
 MAX_WRITE_SALT = 64
+# bucket→fan-out lookup strategy cutover: a literal create_map lookup is a
+# LINEAR scan of the map per row in codegen (GetMapValue over
+# ArrayBasedMapData has no hash index), so it is only used while the map is
+# small; a wide epoch (hundreds+ touched buckets) switches to a broadcast
+# hash join against a tiny (bucket, fanout) table — O(1) per row
+SALT_MAP_LITERAL_MAX = 64
 
 # Iceberg-style type promotions we accept when an epoch widens a column.
 # Names are DataType.simpleString() values ("int", "bigint", ...).
@@ -815,6 +821,31 @@ class ParquetLakeTable:
             for r in rows
         }
 
+    def _with_salt(self, df: DataFrame, salts: dict[int, int]) -> DataFrame:
+        """Add ``_salt`` = pmod(xxhash64(key), per-bucket fan-out). Rows
+        whose bucket is unprobed (null-lsn) get a null salt: they still
+        hash to a stable partition and write into their bucket dir.
+
+        Small maps inline as a literal ``create_map`` lookup (no extra plan
+        node); wide epochs (hundreds+ touched buckets) switch to a broadcast
+        hash join — the literal-map lookup is a linear scan per row."""
+        if len(salts) <= SALT_MAP_LITERAL_MAX:
+            fanout = F.element_at(
+                F.create_map(
+                    *[F.lit(x) for b, s in sorted(salts.items()) for x in (b, s)]
+                ),
+                F.col(BUCKET_COL),
+            )
+        else:
+            smap = self.spark.createDataFrame(
+                sorted(salts.items()), f"{BUCKET_COL} int, _fanout int"
+            )
+            df = df.join(F.broadcast(smap), BUCKET_COL, "left")
+            fanout = F.col("_fanout")
+        return df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*self.key_cols), fanout)
+        ).drop("_fanout")
+
     @staticmethod
     def _part_rows(abs_dir: str) -> dict[int, int]:
         """Per-bucket row counts of one freshly written commit dir, read
@@ -1277,15 +1308,6 @@ class ParquetLakeTable:
             for b, (_m, n) in probe.items()
         }
         n_parts = max(1, sum(salts.values()))
-        salt_of_bucket = F.element_at(
-            F.create_map(
-                *[F.lit(x) for b, s in sorted(salts.items()) for x in (b, s)]
-            ),
-            F.col(BUCKET_COL),
-        )
-        # rows whose bucket is unprobed (null-lsn) get a null salt: they
-        # still hash to a stable partition and write into their bucket dir
-        salt = F.pmod(F.xxhash64(*self.key_cols), salt_of_bucket)
         if lww == "window":
             # One shuffle, straight into the write layout: hash partitioning
             # on (bucket, salt) clusters every key (both are functions of
@@ -1295,7 +1317,7 @@ class ParquetLakeTable:
             # below inherits the layout unchanged. row_number()==1 over the
             # LWW order descending is argmax(order), i.e. exactly the
             # max_by winner; the flag aggregates ride the same sorted frame.
-            part = merged.withColumn("_salt", salt).repartition(
+            part = self._with_salt(merged, salts).repartition(
                 n_parts, F.col(BUCKET_COL), F.col("_salt")
             )
             w = Window.partitionBy(BUCKET_COL, "_salt", *self.key_cols).orderBy(
@@ -1390,9 +1412,12 @@ class ParquetLakeTable:
             # by (bucket, salt) for the write. (The window strategy already
             # produced exactly this layout, sorted by key — T3 stable
             # in-partition order — so it writes as-is with no exchange.)
-            writer = out.repartition(
-                n_parts, F.col(BUCKET_COL), salt
-            ).sortWithinPartitions(*self.key_cols)
+            writer = (
+                self._with_salt(out, salts)
+                .repartition(n_parts, F.col(BUCKET_COL), F.col("_salt"))
+                .sortWithinPartitions(*self.key_cols)
+                .drop("_salt")
+            )
         (
             writer.write.partitionBy(BUCKET_COL)
             .mode("overwrite")

@@ -69,6 +69,65 @@ def test_hot_bucket_fans_out_cold_buckets_stay_single(spark, tmp_path, monkeypat
     assert lake.read().count() == 166
 
 
+def test_broadcast_join_salt_path_state_identical(spark, tmp_path, monkeypatch):
+    """Wide epochs switch the bucket→fan-out lookup from a literal-map scan
+    to a broadcast hash join; the merged state must be identical either
+    way (the salt only places rows, never picks winners)."""
+    rows = [(f"c{j}", t, 100 * j + t, "U", f"v{j}-{t}", 0) for j in range(40) for t in range(3)]
+    rows += [("c3", 1, 99999, "U", "c3-upd", 0), ("c5", 2, 1, "U", "stale-loser", 0)]
+
+    def run(root):
+        lake = ParquetLakeTable(spark, root, n_buckets=16)
+        CdcEngine(lake=lake).apply_epochs(_events(spark, rows), epoch_ids=[0])
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"]) for r in lake.read().collect()
+        )
+
+    monkeypatch.setattr(lake_mod, "SALT_MAP_LITERAL_MAX", 0)  # force the join
+    via_join = run(str(tmp_path / "a"))
+    monkeypatch.setattr(lake_mod, "SALT_MAP_LITERAL_MAX", 64)
+    via_map = run(str(tmp_path / "b"))
+    assert via_join == via_map
+    assert ("c3", 1, "c3-upd") in via_join
+    assert ("c5", 2, "v5-2") in via_join
+
+
+def test_pre_upgrade_manifest_without_rows_degrades_to_batch_sizing(
+    spark, tmp_path, monkeypatch
+):
+    """A manifest written before the ``rows`` field existed must still
+    merge: the salt is sized from the batch alone and the next commit
+    backfills the counts."""
+    import json
+
+    monkeypatch.setattr(lake_mod, "ROWS_PER_WRITE_TASK", 40)
+    lake = ParquetLakeTable(spark, str(tmp_path / "lk"), n_buckets=4)
+    engine = CdcEngine(lake=lake)
+    e0 = [(f"c{j}", 0, 100 + j, "U", f"v{j}", 0) for j in range(10)]
+    engine.apply_epochs(_events(spark, e0), epoch_ids=[0])
+
+    # simulate a pre-upgrade manifest: strip the rows field in place
+    cdir = os.path.join(lake.root, "_commits")
+    mpath = os.path.join(
+        cdir, sorted(f for f in os.listdir(cdir) if f.startswith("commit-"))[-1]
+    )
+    c = json.load(open(mpath))
+    for ptr in c["buckets"].values():
+        ptr.pop("rows", None)
+        for d in ptr.get("deltas", []):
+            d.pop("rows", None)
+    with open(mpath, "w") as fh:
+        json.dump(c, fh)
+
+    e1 = [(f"c{j}", 0, 200 + j, "U", f"w{j}", 1) for j in range(10)]
+    engine2 = CdcEngine(lake=ParquetLakeTable(spark, lake.root, n_buckets=4))
+    engine2.apply_epochs(_events(spark, e1), epoch_ids=[1])
+    got = {r["conv_id"]: r["text"] for r in lake.read().collect()}
+    assert got == {f"c{j}": f"w{j}" for j in range(10)}
+    # the new commit re-records real row counts
+    assert all("rows" in p for p in lake.last_commit()["buckets"].values())
+
+
 def test_next_epoch_salt_sized_from_manifest_rows(spark, tmp_path, monkeypatch):
     """Epoch 1 updates ONE key of the hot conversation: the batch alone
     (1 row) would pick salt 1, but the CoW rewrite re-emits the 160 target
