@@ -78,8 +78,11 @@ EXPECT = {
     "cdc_parse_envelope": ["HashAggregate|SortAggregate|ObjectHashAggregate"],
     # stats-pruned range read: besides the manifest-level bucket skipping
     # (asserted via inputFiles in tests/test_lake_stats.py), the row-level
-    # range must reach the parquet scan of the surviving buckets
-    "cdc_stats_pruned_read": ["PushedFilters: \\[.*GreaterThanOrEqual\\(ts"],
+    # range must reach the parquet scan of the surviving buckets.
+    # "GreaterThanOrEqual(" is the data-source filter syntax, which only
+    # appears in PushedFilters (DataFilters prints Catalyst ">=" instead),
+    # so the literal substring check below is specific to pushdown.
+    "cdc_stats_pruned_read": ["GreaterThanOrEqual(ts"],
     # stream-stream interval join drains through a StreamingSymmetricHashJoin
     # inside the streaming query; the returned DataFrame is only the drained
     # parquet read, so the audit only does generic checks here (the join
