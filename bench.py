@@ -231,6 +231,7 @@ def run_scaling(
     n_conversations: int = 24_000,
     trials: int = 3,
     cooldown_sec: int = 45,
+    label: str = "",
 ) -> dict:
     """Same job, same input, two parallelism levels (north rule's
     two-cluster-size criterion evidenced in-sandbox).
@@ -317,7 +318,7 @@ def run_scaling(
         "gate": ">=0.8",
         "pass": eff >= 0.8,
         "trials": trials,
-        "label": f"best-of-{trials}",
+        "label": label or f"best-of-{trials}",
         "calibrations": calibrations,
         "detail": results,
     }
@@ -563,6 +564,8 @@ def main() -> None:
                     help="k for the N→kN scaling span (8 gives the 2→16 curve point)")
     ap.add_argument("--scaling-trials", type=int, default=3,
                     help="interleaved best-of-K trials per level")
+    ap.add_argument("--scaling-label", default="",
+                    help="history-ledger label for this scaling run")
     ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
                     help="lake write strategy for throughput mode "
                          "(cow rewrites touched buckets; mor appends deltas)")
@@ -577,7 +580,8 @@ def main() -> None:
     elif args.scaling:
         print(json.dumps(run_scaling(
             args.sf_dir, n_cores=args.scaling_n, multiple=args.scaling_multiple,
-            trials=args.scaling_trials,
+            n_conversations=args.conversations or 24_000,
+            trials=args.scaling_trials, label=args.scaling_label,
         ), indent=2))
     else:
         print(json.dumps(run_queries(args.sf_dir, args.cores)))
