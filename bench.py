@@ -566,6 +566,12 @@ def main() -> None:
                     help="interleaved best-of-K trials per level")
     ap.add_argument("--scaling-label", default="",
                     help="history-ledger label for this scaling run")
+    ap.add_argument("--scaling-cooldown", type=int, default=45,
+                    help="idle seconds before each timed trial; the VM's "
+                         "burst-credit bucket refills over minutes, so 45 s "
+                         "interleaving shares the drain fairly across levels "
+                         "while ~240 s gives every trial pair a refilled "
+                         "window (BENCH/NOTES.md: within-run credit drain)")
     ap.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
                     help="lake write strategy for throughput mode "
                          "(cow rewrites touched buckets; mor appends deltas)")
@@ -582,6 +588,7 @@ def main() -> None:
             args.sf_dir, n_cores=args.scaling_n, multiple=args.scaling_multiple,
             n_conversations=args.conversations or 24_000,
             trials=args.scaling_trials, label=args.scaling_label,
+            cooldown_sec=args.scaling_cooldown,
         ), indent=2))
     else:
         print(json.dumps(run_queries(args.sf_dir, args.cores)))
