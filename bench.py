@@ -513,6 +513,43 @@ def _write_scaling_md(r: dict) -> None:
             "unchanged at any two executor counts "
             "(`scripts/submit.sh bench.py --scaling`, no pinning needed).\n"
         )
+        if len(h28) >= 2:
+            first, best_n = h28[0], max(h["events_per_sec_N"] for h in h28)
+            best_4n = max(h["events_per_sec_4N"] for h in h28)
+            fh.write(
+                "\n## Efficiency is a ratio to your OWN low-parallelism speed "
+                "(the COST tradeoff)\n\n"
+                "Across the history above the engine's ABSOLUTE throughput "
+                f"rose at both levels — 2-core from {first['events_per_sec_N']:.0f} "
+                f"to a best of {best_n:.0f} ev/s "
+                f"({best_n / first['events_per_sec_N']:.2f}×), 8-core from "
+                f"{first['events_per_sec_4N']:.0f} to {best_4n:.0f} ev/s "
+                f"({best_4n / first['events_per_sec_4N']:.2f}×) — because the "
+                "one-shuffle window-LWW merge and the broadcast salt lookup "
+                "removed serialized work. Removing a shuffle helps the "
+                "2-core denominator proportionally MORE than the 8-core "
+                "numerator (at 2 cores exchange serialization is pure "
+                "critical-path CPU; at 8 it was partly overlapped), so the "
+                "raw efficiency RATIO dips round-over-round even though "
+                "every configuration got strictly faster — the classic "
+                "'scalability at what COST' effect (McSherry et al., HotOS "
+                "2015). Compare engine versions on absolute events/sec at "
+                "fixed cores; compare cluster sizes within one version via "
+                "the normalized column.\n"
+                "\n## Where the window variance lives\n\n"
+                "The bracketing busy-loop calibrations across every recorded "
+                "window show the 2-CPU hardware grant is STABLE (≈5.5–9 "
+                "units/s, every run, both rounds) while the 8-CPU grant "
+                "swings 12.8–31.5 units/s (2.5×). The hypervisor caps "
+                "AGGREGATE compute per window, so the high-parallelism "
+                "level absorbs all the credit-throttle variance and the "
+                "raw-efficiency column largely measures that window's cap, "
+                "not the engine. This is also why best-of-K interleaving "
+                "cannot manufacture a clean raw sample on a drained host "
+                "(BENCH/NOTES.md: within-run credit drain) — the honest "
+                "aggregate is the median across runs plus the per-window "
+                "normalization.\n"
+            )
         fh.write(
             "\n## Amdahl accounting (why the input is 24k conversations)\n\n"
             "Fitting T(n) = F + W/n to same-window 2/8-core pairs: before "
@@ -520,7 +557,7 @@ def _write_scaling_md(r: dict) -> None:
             "plan analysis, stage barriers, epoch commits) was ~6 s across "
             "the 4 epochs; the one-shuffle window-LWW merge (one fewer "
             "exchange + barrier per epoch) cut the fit to ~4 s and removed "
-            "~25%% of W itself. The remaining fixed fraction still caps "
+            "~25% of W itself. The remaining fixed fraction still caps "
             "ideal 2→8 scaling at ~0.9 at this input size. Smaller inputs "
             "are fixed-cost-dominated (6k conversations measures ~0.67 on "
             "clean windows); larger inputs (48k tested) push the "
