@@ -201,12 +201,14 @@ class NearDupIndex:
             all_sh, min_jaccard=p["min_jaccard"], id_col=id_col, candidates=cand
         )
         dropped = dups.select(F.col("b_id").alias(id_col)).distinct()
+        # materialize the VERDICT (dropped ids) BEFORE appending the index,
+        # so the verify provably ran against the pre-batch index state and a
+        # failure leaves no half-visible batch. Checkpointing only the id
+        # set keeps the pre-append barrier at O(dropped) memory — the
+        # earlier full-width kept-rows checkpoint was O(batch), which at
+        # ingest scale pins the whole batch's text in executor storage.
+        dropped = dropped.localCheckpoint(eager=True)
         kept = docs.join(dropped, id_col, "left_anti")
-
-        # materialize kept BEFORE appending the index so the verify ran
-        # against the pre-batch index state (and a failure leaves no
-        # half-visible batch)
-        kept = kept.localCheckpoint(eager=True)
 
         n = (max(self.batches) + 1) if self.batches else 0
         bk_new.write.mode("overwrite").partitionBy("band").parquet(
