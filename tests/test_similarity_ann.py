@@ -1,0 +1,132 @@
+"""ANN property tests (operators/similarity.py).
+
+The registry oracle (queries.py `ann_*`) already pins each flavor against
+DuckDB SQL; these tests pin the SEMANTICS independently:
+
+* IVF with every cell probed degenerates to exact brute-force top-k
+  (recall exactly 1 — the operator's candidate restriction is its ONLY
+  approximation).
+* IVF at partial nprobe equals a from-scratch pure-Python reference
+  (assignment, probing, scoring, ranking all re-derived outside Spark).
+* Recall against exact top-k is monotone non-decreasing in nprobe.
+* Cell assignment breaks exact distance ties to the lowest cid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_nlp_processor_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    seed_centroids,
+)
+from nifi_nlp_processor_spark.queries import _embeddings_with_near_dups
+
+SF = "/root/testdata/sf0.001"
+N_CELLS = 8
+K = 5
+
+
+def _rows(df):
+    return {(r.query_id, r.neighbor_id, r.rank, r.score) for r in df.collect()}
+
+
+def _cosine(a, b):
+    # sequential left fold in double precision — the same order the Spark
+    # expressions use (F.aggregate), so scores agree to the last bit
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (na ** 0.5 * nb ** 0.5)
+
+
+def _py_ivf_topk(corpus, queries, n_cells, nprobe, k):
+    """From-scratch IVF reference: lowest-id centroids, rounded-distance
+    assignment with lowest-cid ties, nprobe nearest cells per query, exact
+    cosine rounded to 4 digits, rank by (score desc, neighbor asc)."""
+    cents = sorted(corpus)[:n_cells]
+    cent_vecs = {cid: corpus[cid] for cid in cents}
+
+    def cell_order(v):
+        return sorted(
+            (round(1.0 - _cosine(v, cv), 6), cid) for cid, cv in cent_vecs.items()
+        )
+
+    assign = {vid: cell_order(v)[0][1] for vid, v in corpus.items()}
+    out = set()
+    for qid, qv in queries.items():
+        probed = {cid for _, cid in cell_order(qv)[:nprobe]}
+        cands = [
+            (round(_cosine(qv, nv), 4), nid)
+            for nid, nv in corpus.items()
+            if nid != qid and assign[nid] in probed
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, nid) in enumerate(cands[:k], start=1):
+            out.add((qid, nid, rank, score))
+    return out
+
+
+def _corpus_dict(df):
+    return {int(r.vec_id): list(r.embedding) for r in df.collect()}
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    corpus = _embeddings_with_near_dups(spark, SF)
+    queries = corpus.where(F.col("vec_id") < 8)
+    exact = cosine_topk(corpus, queries, k=K)
+    full = ivf_topk(corpus, queries, n_cells=N_CELLS, nprobe=N_CELLS, k=K)
+    assert _rows(full) == _rows(exact)
+
+
+def test_ivf_matches_pure_python_reference(spark):
+    corpus_df = _embeddings_with_near_dups(spark, SF)
+    queries_df = corpus_df.where(F.col("vec_id") < 8)
+    got = _rows(ivf_topk(corpus_df, queries_df, n_cells=N_CELLS, nprobe=2, k=K))
+    corpus = _corpus_dict(corpus_df)
+    queries = {vid: v for vid, v in corpus.items() if vid < 8}
+    assert got == _py_ivf_topk(corpus, queries, N_CELLS, nprobe=2, k=K)
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    corpus = _embeddings_with_near_dups(spark, SF)
+    queries = corpus.where(F.col("vec_id") < 8)
+    exact = {(q, n) for q, n, _, _ in _rows(cosine_topk(corpus, queries, k=K))}
+    recalls = []
+    for nprobe in (1, 2, 4, N_CELLS):
+        got = {
+            (q, n)
+            for q, n, _, _ in _rows(
+                ivf_topk(corpus, queries, n_cells=N_CELLS, nprobe=nprobe, k=K)
+            )
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+
+
+def test_ivf_assign_tie_breaks_lowest_cid(spark):
+    df = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    # two identical centroids: every vector is equidistant — cid 0 must win
+    cents = [(0, [0.5, 0.5]), (1, [0.5, 0.5])]
+    got = {(r.vec_id, r.cell) for r in ivf_assign(df, cents).collect()}
+    assert got == {(10, 0), (11, 0)}
+
+
+def test_seed_centroids_bounded_and_deterministic(spark):
+    corpus = _embeddings_with_near_dups(spark, SF)
+    a = seed_centroids(corpus, N_CELLS)
+    b = seed_centroids(corpus, N_CELLS)
+    assert a == b
+    ids = [cid for cid, _ in a]
+    assert ids == sorted(ids) and len(ids) == N_CELLS
