@@ -130,3 +130,43 @@ def test_seed_centroids_bounded_and_deterministic(spark):
     assert a == b
     ids = [cid for cid, _ in a]
     assert ids == sorted(ids) and len(ids) == N_CELLS
+
+
+def _py_lsh_topk(corpus, queries, planes, k):
+    """From-scratch hyperplane-LSH reference: sign-bit bucket, in-bucket
+    exact cosine (rounded to 4), rank by (score desc, neighbor asc)."""
+    def bucket(v):
+        sig = 0
+        for i, p in enumerate(planes):
+            d = 0.0
+            for x, y in zip(v, p):
+                d += float(x) * float(y)
+            if d > 0:
+                sig |= 1 << i
+        return sig
+
+    cb = {vid: bucket(v) for vid, v in corpus.items()}
+    out = set()
+    for qid, qv in queries.items():
+        qb = bucket(qv)
+        cands = [
+            (round(_cosine(qv, nv), 4), nid)
+            for nid, nv in corpus.items()
+            if nid != qid and cb[nid] == qb
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (score, nid) in enumerate(cands[:k], start=1):
+            out.add((qid, nid, rank, score))
+    return out
+
+
+def test_lsh_matches_pure_python_reference(spark):
+    from nifi_nlp_processor_spark.operators.similarity import hyperplanes, lsh_topk
+
+    corpus_df = _embeddings_with_near_dups(spark, SF)
+    queries_df = corpus_df.where(F.col("vec_id") < 8)
+    got = _rows(lsh_topk(corpus_df, queries_df, k=K, n_planes=6))
+    corpus = _corpus_dict(corpus_df)
+    queries = {vid: v for vid, v in corpus.items() if vid < 8}
+    planes = hyperplanes(dim=64, n_planes=6, seed=42)
+    assert got == _py_lsh_topk(corpus, queries, planes, k=K)
