@@ -234,9 +234,73 @@ def ivf_assign(
     """Adds the IVF cell id: nearest centroid by rounded cosine distance,
     ties to the lowest cid. Pure codegen over centroid literals — the
     corpus is scanned once with NO shuffle; on a real lake the cell becomes
-    a hidden partition column so probes prune at the file level."""
+    a hidden partition column so probes prune at the file level.
+
+    The literal expression is O(n_cells × dim) leaves — ideal for small
+    registries, but Catalyst chokes on a 4k-cells × 1k-dim tree. Above
+    ``IVF_LITERAL_MAX_TERMS`` use :func:`ivf_assign_join` instead (same
+    (distance, cid) semantics, broadcast-join physical shape)."""
     return df.withColumn(
         out, F.array_min(_cell_scores(vec_col, centroids)).getField("cid")
+    )
+
+
+# literal-expression ceiling: n_cells × dim leaves beyond this and the
+# centroid registry stops being inlined into the plan (codegen/analysis
+# cost grows superlinearly in expression size) and becomes a broadcast
+# DataFrame side instead.
+IVF_LITERAL_MAX_TERMS = 2048
+
+
+def centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """The centroid registry as a tiny DataFrame — the broadcast side of
+    the join-based scoring path for registries too large to inline."""
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cid int, _cent array<double>",
+    )
+
+
+def _join_distance(vec_col: str, round_digits: int = 6):
+    """Rounded cosine distance between a row vector and the joined
+    ``_cent`` column — numerically identical to ``_cell_scores``: the dot
+    and norms are the same sequential double folds, and the centroid norm
+    (a sequential sum of squares then one IEEE sqrt) matches the
+    driver-side ``sum(x*x) ** 0.5`` of the literal path bit-for-bit."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = F.col("_cent")
+    return F.round(F.lit(1.0) - _dot(v, c) / (_norm(v) * _norm(c)), round_digits)
+
+
+def ivf_assign_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Join-based IVF assignment for LARGE centroid registries: centroids
+    broadcast as a DataFrame, distance scored per (row × centroid) pair
+    inside codegen, argmin via ``min(struct(d, cid, payload))`` — the
+    identical (distance, cid) ordering the literal path's ``array_min``
+    uses, so both paths assign every vector to the same cell bit-for-bit.
+
+    Physical shape: one BroadcastNestedLoopJoin (corpus never moves for
+    scoring) + ONE hash aggregate keyed by ``id_col`` (partial min per
+    partition, then final — the only shuffle, and its width is one struct
+    per row, not n_cells). Returns ``(id_col, vec_col, out)``: the vector
+    rides through the aggregate as struct payload — no join-back to df.
+    """
+    cent = F.broadcast(centroids_df(df.sparkSession, centroids))
+    j = df.select(F.col(id_col), F.col(vec_col)).crossJoin(cent)
+    d = _join_distance(vec_col)
+    best = j.groupBy(id_col).agg(
+        F.min(F.struct(d.alias("d"), F.col("cid"), F.col(vec_col).alias("_v"))).alias("_m")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_m._v").alias(vec_col),
+        F.col("_m.cid").alias(out),
     )
 
 
@@ -250,32 +314,51 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     round_digits: int | None = 4,
+    max_literal_terms: int = IVF_LITERAL_MAX_TERMS,
 ) -> DataFrame:
     """IVF-probed ANN: (query_id, neighbor_id, rank, score).
 
-    The scale shape: corpus→cell assignment is a shuffle-free codegen
-    expression (centroids are broadcast literals — the IVF "index" is a
-    model artifact, not a join side); each query explodes to its ``nprobe``
-    nearest cells and the exploded probe set is broadcast, so the only
-    wide operation is the per-query rank over candidates already cut to
-    ~``nprobe``/``n_cells`` of the corpus. Recall < 1 by design (a true
-    neighbor in an unprobed cell is missed — raise nprobe for recall);
-    precision is exact within probed cells. Scores are rounded before
-    ranking, ties break by neighbor id (stable across engines)."""
+    The scale shape: corpus→cell assignment is shuffle-free codegen over
+    centroid literals when the registry is small (``n_cells × dim ≤
+    max_literal_terms``) and a broadcast-join argmin (one aggregate
+    shuffle, no expression blowup) when it is large — both paths score
+    with the identical sequential folds and (distance, cid) tie order, so
+    the assignment is bit-identical either way; each query explodes to its
+    ``nprobe`` nearest cells and the exploded probe set is broadcast, so
+    the only wide operation is the per-query rank over candidates already
+    cut to ~``nprobe``/``n_cells`` of the corpus. Recall < 1 by design (a
+    true neighbor in an unprobed cell is missed — raise nprobe for
+    recall); precision is exact within probed cells. Scores are rounded
+    before ranking, ties break by neighbor id (stable across engines)."""
     if centroids is None:
         centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
-    c = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        centroids,
-        "_cv",
+    dim = len(centroids[0][1]) if centroids else 0
+    use_join = len(centroids) * dim > max_literal_terms
+    cproj = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(
-            F.slice(F.array_sort(_cell_scores(vec_col, centroids)), 1, nprobe)
-        ).alias("_probe"),
-    ).select("query_id", "_qv", F.col("_probe.cid").alias("cell"))
+    if use_join:
+        c = ivf_assign_join(cproj, centroids, "neighbor_id", "_cv")
+        qj = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).crossJoin(F.broadcast(centroids_df(queries.sparkSession, centroids)))
+        pw = Window.partitionBy("query_id").orderBy(
+            _join_distance("_qv"), F.col("cid").asc()
+        )
+        q = (
+            qj.withColumn("_rn", F.row_number().over(pw))
+            .where(F.col("_rn") <= nprobe)
+            .select("query_id", "_qv", F.col("cid").alias("cell"))
+        )
+    else:
+        c = ivf_assign(cproj, centroids, "_cv")
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(
+                F.slice(F.array_sort(_cell_scores(vec_col, centroids)), 1, nprobe)
+            ).alias("_probe"),
+        ).select("query_id", "_qv", F.col("_probe.cid").alias("cell"))
     scored = with_cosine(c.join(F.broadcast(q), "cell"), "_qv", "_cv").where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -370,7 +453,7 @@ def nearest_centroid_eval(
     label_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    round_digits: int = 6,
+    round_digits: int = 4,
 ) -> DataFrame:
     """Nearest-centroid classification eval — the embedding-quality rollup
     of a labeled corpus: assign every vector to its highest-cosine label
@@ -382,7 +465,13 @@ def nearest_centroid_eval(
     argmax via ``max_by`` struct ordering (score desc, centroid label asc
     on ties — deterministic across engines), then a per-label rollup.
     The corpus is scanned twice (centroid pass + assign pass) and never
-    shuffled except for the two label-keyed partial+final aggregates."""
+    shuffled except for the two label-keyed partial+final aggregates.
+
+    Determinism: per-vector scores round to 4 digits (the proven ANN
+    convention — stable across summation orders), and the per-label mean
+    is an EXACT integer sum of score×10⁴ divided once at the end, so no
+    float aggregate ever sits on a rounding boundary: identical longs
+    divide identically under IEEE-754 on any engine."""
     cents = label_centroids(emb, label_col, vec_col).select(
         F.col(label_col).alias("_clabel"), F.col("centroid").alias("_cv")
     )
@@ -404,15 +493,20 @@ def nearest_centroid_eval(
             F.when(F.col("_clabel") == F.col("_true"), F.col("score"))
         ).alias("_self"),
     )
+    scale = float(10 ** round_digits)
     return (
         assign.groupBy(F.col("_true").alias(label_col))
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.sum((F.col("_pred") == F.col("_true")).cast("long")).alias("n_correct"),
-            F.round(F.avg("_self"), 6).alias("mean_self_cosine"),
+            # exact long sum of score×10^d — order-independent, no float agg
+            F.sum(F.round(F.col("_self") * scale).cast("long")).alias("_self_e"),
         )
-        .withColumn(
-            "accuracy",
-            F.round(F.col("n_correct") / F.col("n_vectors"), 6),
+        .select(
+            label_col,
+            "n_vectors",
+            "n_correct",
+            (F.col("_self_e") / (F.col("n_vectors") * scale)).alias("mean_self_cosine"),
+            (F.col("n_correct") / F.col("n_vectors")).alias("accuracy"),
         )
     )

@@ -1760,7 +1760,7 @@ c AS (
 ),
 s AS (
   SELECT u.vec_id, u.label AS true_label, c.clabel,
-         round(sum(u.v * c.cv) / (sqrt(sum(u.v * u.v)) * sqrt(sum(c.cv * c.cv))), 6) AS score
+         round(sum(u.v * c.cv) / (sqrt(sum(u.v * u.v)) * sqrt(sum(c.cv * c.cv))), 4) AS score
   FROM u JOIN c USING (i)
   GROUP BY 1, 2, 3
 ),
@@ -1773,11 +1773,15 @@ a AS (
     FROM s
   ) WHERE rn = 1
 )
+-- mean via an exact integer sum of score*1e4 (matches the Spark plan):
+-- identical longs divide identically under IEEE-754 on any engine.
 SELECT true_label AS label,
        count(*) AS n_vectors,
-       sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS n_correct,
-       round(avg(self_score), 6) AS mean_self_cosine,
-       round(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
+       CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CAST(round(self_score * 10000, 0) AS BIGINT)) AS DOUBLE)
+         / (count(*) * 10000.0) AS mean_self_cosine,
+       CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS accuracy
 FROM a GROUP BY 1 ORDER BY 1
 """
 

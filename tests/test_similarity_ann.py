@@ -160,6 +160,65 @@ def _py_lsh_topk(corpus, queries, planes, k):
     return out
 
 
+def test_ivf_join_path_bit_identical_to_literal_path(spark):
+    # max_literal_terms=0 forces the broadcast-join argmin; both physical
+    # shapes must produce the same rows bit-for-bit (same folds, same
+    # (distance, cid) ordering) at every nprobe
+    corpus = _embeddings_with_near_dups(spark, SF)
+    queries = corpus.where(F.col("vec_id") < 8)
+    for nprobe in (1, 2, N_CELLS):
+        lit = ivf_topk(corpus, queries, n_cells=N_CELLS, nprobe=nprobe, k=K)
+        join = ivf_topk(
+            corpus, queries, n_cells=N_CELLS, nprobe=nprobe, k=K,
+            max_literal_terms=0,
+        )
+        assert _rows(join) == _rows(lit), f"nprobe={nprobe}"
+
+
+def test_ivf_join_assign_matches_literal_assign(spark):
+    from nifi_nlp_processor_spark.operators.similarity import ivf_assign_join
+
+    corpus = _embeddings_with_near_dups(spark, SF).select(
+        "vec_id", F.col("embedding").alias("_cv")
+    )
+    cents = seed_centroids(corpus, N_CELLS, vec_col="_cv")
+    lit = {(r.vec_id, r.cell) for r in ivf_assign(corpus, cents, "_cv").collect()}
+    jn = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign_join(corpus, cents, "vec_id", "_cv").collect()
+    }
+    assert jn == lit
+
+
+def test_ivf_join_path_no_expression_blowup_at_4k_cells(spark):
+    # 4096 cells × 8 dims = 32k literal terms — far past the inline
+    # ceiling. The join path must plan AND execute: the registry rides as
+    # a 4096-row broadcast DataFrame, never as an expression tree.
+    import time
+
+    from nifi_nlp_processor_spark.operators.similarity import IVF_LITERAL_MAX_TERMS
+
+    dim = 8
+    cents = [
+        (cid, [float((cid * 7 + d * 13) % 17) - 8.0 for d in range(dim)])
+        for cid in range(4096)
+    ]
+    assert 4096 * dim > IVF_LITERAL_MAX_TERMS
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 11) - 5.0 for d in range(dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") < 3)
+    t0 = time.time()
+    out = ivf_topk(corpus, queries, nprobe=4096, k=3, centroids=cents)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 2_000_000  # an inlined registry would be tens of MB
+    got = _rows(out)
+    assert time.time() - t0 < 120
+    # full probe over every cell degenerates to exact brute force
+    assert got == _rows(cosine_topk(corpus, queries, k=3))
+
+
 def test_lsh_matches_pure_python_reference(spark):
     from nifi_nlp_processor_spark.operators.similarity import hyperplanes, lsh_topk
 
