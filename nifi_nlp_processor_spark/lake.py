@@ -251,6 +251,7 @@ class ParquetLakeTable:
         constructor args."""
         self.spark = spark
         self.root = root
+        self._commit_cache: dict[str, dict] = {}
         os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "_schema"), exist_ok=True)
         props_path = os.path.join(root, "_table.json")
@@ -293,33 +294,44 @@ class ParquetLakeTable:
         self._write_props()
 
     # ---- commit log -------------------------------------------------
+    #
+    # Published manifests are IMMUTABLE (atomic rename, never rewritten),
+    # so parsed manifests are cached per handle keyed by filename: the
+    # listdir stays the source of truth for WHICH commits exist (a
+    # concurrent writer's publishes are picked up on the next call), but
+    # each manifest is parsed once. Without the cache every epoch re-parses
+    # the whole ledger — an O(epochs²) driver-side term over a long replay
+    # that lands squarely in the per-epoch fixed cost the scaling gate
+    # measures.
 
     def _commit_files(self) -> list[str]:
         d = os.path.join(self.root, "_commits")
         return sorted(f for f in os.listdir(d) if f.startswith("commit-"))
 
+    def _read_commit(self, fname: str) -> dict:
+        c = self._commit_cache.get(fname)
+        if c is None:
+            with open(os.path.join(self.root, "_commits", fname)) as fh:
+                c = json.load(fh)
+            self._commit_cache[fname] = c
+        return c
+
     def last_commit(self) -> dict | None:
         files = self._commit_files()
         if not files:
             return None
-        with open(os.path.join(self.root, "_commits", files[-1])) as fh:
-            return json.load(fh)
+        return self._read_commit(files[-1])
 
     def committed_epochs(self) -> set[int]:
         out = set()
         for f in self._commit_files():
-            with open(os.path.join(self.root, "_commits", f)) as fh:
-                e = json.load(fh)["epoch_id"]
+            e = self._read_commit(f)["epoch_id"]
             if e is not None:  # maintenance commits (compact) are not epochs
                 out.add(e)
         return out
 
     def commit_history(self) -> list[dict]:
-        hist = []
-        for f in self._commit_files():
-            with open(os.path.join(self.root, "_commits", f)) as fh:
-                hist.append(json.load(fh))
-        return hist
+        return [self._read_commit(f) for f in self._commit_files()]
 
     def commit_at(self, seq: int) -> dict:
         """Manifest of snapshot ``seq`` (time travel anchor)."""
@@ -1119,6 +1131,34 @@ class ParquetLakeTable:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(self.bucket_key), F.lit(self.n_buckets)).cast("int")
 
+    def probe_batch(
+        self, pdf: DataFrame, lsn_col: str = "lsn"
+    ) -> dict[int, tuple[int, int]]:
+        """The touched-bucket / watermark probe as a standalone action:
+        ``{bucket: (max_lsn, n_rows)}`` over a two-column projection of the
+        batch (≤ n_buckets rows to the driver). Exposed so a replay loop
+        can PREFETCH the next epoch's probe on a separate thread while the
+        current epoch's merge job runs — the probe must finish before the
+        merge plan can be built (it sizes the adaptive write salt and picks
+        the target buckets to read), so off the critical path it stops
+        costing a serialized job per epoch (runner.apply_epochs does this).
+
+        Null-lsn rows are dropped defensively: a row whose watermark can't
+        be computed must never mark a bucket touched nor produce a None
+        watermark (int(None) would fail after the data write, before the
+        commit — deterministically on every retry)."""
+        return {
+            r[0]: (r[1], r[2])
+            for r in pdf.where(F.col(lsn_col).isNotNull())
+            .select(
+                self._bucket_expr().alias(BUCKET_COL),
+                F.col(lsn_col).cast("long").alias(META_LSN),
+            )
+            .groupBy(BUCKET_COL)
+            .agg(F.max(META_LSN), F.count(F.lit(1)))
+            .collect()
+        }
+
     def merge_into(
         self,
         src: DataFrame,
@@ -1128,6 +1168,7 @@ class ParquetLakeTable:
         probe_src: DataFrame | None = None,
         mode: str = "cow",
         lww: str = "window",
+        probe: dict[int, tuple[int, int]] | None = None,
     ) -> MergeMetrics:
         """MERGE src (one epoch's change events, may contain intra-batch
         duplicates) into the table under max-LSN LWW. Idempotent per epoch.
@@ -1135,7 +1176,10 @@ class ParquetLakeTable:
         ``probe_src``: optional cheaper stand-in for the touched-bucket /
         watermark probe — must contain the same (bucket-key, lsn) rows as
         ``src`` (e.g. the pre-enrichment batch, so the probe pass does not
-        re-run an expensive UDF stage).
+        re-run an expensive UDF stage). ``probe``: the probe RESULT itself
+        (from ``probe_batch`` over the same rows), when the caller already
+        ran it — e.g. prefetched concurrently with the previous epoch's
+        merge; passing it skips the probe job entirely.
 
         ``mode``:
 
@@ -1206,22 +1250,10 @@ class ParquetLakeTable:
         # merge job below reads the source through its own (columnar,
         # cached-by-OS) scan. The counts size the adaptive write salt below.
         t_probe = time.time()
-        pdf = probe_src if probe_src is not None else src
-        # Null-lsn rows are dropped from the probe defensively: a row whose
-        # watermark can't be computed must never mark a bucket touched nor
-        # produce a None watermark (int(None) would fail after the data
-        # write, before the commit — deterministically on every retry).
-        probe = {
-            r[0]: (r[1], r[2])
-            for r in pdf.where(F.col(lsn_col).isNotNull())
-            .select(
-                self._bucket_expr().alias(BUCKET_COL),
-                F.col(lsn_col).cast("long").alias(META_LSN),
+        if probe is None:
+            probe = self.probe_batch(
+                probe_src if probe_src is not None else src, lsn_col
             )
-            .groupBy(BUCKET_COL)
-            .agg(F.max(META_LSN), F.count(F.lit(1)))
-            .collect()
-        }
         touched = sorted(probe)
         t_probe = time.time() - t_probe
         if not touched:

@@ -142,7 +142,16 @@ class NearDupIndex:
         storage only matching partitions are scanned; history shingles are
         read candidate-restricted inside ``jaccard_pairs``. Nothing
         re-sketches history, and the new batch's text is scanned once
-        (shingle derivation), not collected."""
+        (shingle derivation), not collected.
+
+        Laziness contract: only the dropped-id VERDICT is materialized
+        (checkpointed) before the index append; the returned ``kept``
+        DataFrame stays LAZY — each downstream action re-reads ``docs``
+        post-commit. ``docs`` must therefore be a stable, deterministic
+        source (a table/files, not a non-deterministic derivation), and
+        callers acting on the result more than once should persist it —
+        otherwise a mutated source could yield kept rows inconsistent with
+        the fingerprints this call committed."""
         p = self.params
         id_col, text_col = p["id_col"], p["text_col"]
 

@@ -67,8 +67,16 @@ class CdcEngine:
     auto_compact_deltas: int | None = None
     results: list[EpochResult] = field(default_factory=list)
 
-    def apply_epoch(self, batch: DataFrame, epoch_id: int) -> EpochResult:
-        """Apply one micro-batch. Safe to call twice with the same epoch_id."""
+    def apply_epoch(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        probe: dict[int, tuple[int, int]] | None = None,
+    ) -> EpochResult:
+        """Apply one micro-batch. Safe to call twice with the same epoch_id.
+        ``probe``: a prefetched ``lake.probe_batch`` result over this
+        batch's valid rows (see ``_prefetch_probe``) — skips the inline
+        probe job."""
         if epoch_id in self.lake.committed_epochs():
             res = EpochResult(epoch_id=epoch_id, merge=MergeMetrics(epoch_id=epoch_id, skipped=True))
             self.results.append(res)
@@ -112,7 +120,7 @@ class CdcEngine:
         # operator remains available for standalone use).
         metrics = self.lake.merge_into(
             valid, epoch_id, probe_src=probe_src, mode=self.merge_mode,
-            lww=self.lww_strategy,
+            lww=self.lww_strategy, probe=probe,
         )
         res = EpochResult(epoch_id=epoch_id, merge=metrics, quarantined=n_bad)
         if self.auto_compact_deltas is not None and not metrics.skipped:
@@ -189,24 +197,60 @@ class CdcEngine:
         fixed = fix(bad.drop("_reject_reason", "_epoch_id"))
         return self.apply_epoch(fixed, new_epoch_id)
 
+    def _prefetch_probe(self, batch: DataFrame) -> dict[int, tuple[int, int]]:
+        """The touched-bucket/watermark probe over the SAME rows
+        ``apply_epoch`` would probe (post-quarantine valid rows, cutover
+        filter applied) — runnable on a separate thread so the next
+        epoch's probe overlaps the current epoch's merge job."""
+        valid, _bad = split_valid(batch, list(self.key_cols))
+        cutover = self.lake.extra_props.get("bootstrap_lsn")
+        if cutover is not None:
+            valid = valid.where(F.col("lsn") > int(cutover))
+        return self.lake.probe_batch(valid)
+
     def apply_epochs(
         self,
         events: DataFrame,
         epoch_col: str = "epoch_id",
         epoch_ids: list[int] | None = None,
+        prefetch_probes: bool = True,
     ) -> list[EpochResult]:
         """Batch replay: partition the change stream by epoch and apply in
         epoch order. Epoch ids are collected (small: one per micro-batch),
         the events themselves never reach the driver; pass ``epoch_ids``
-        when the caller already knows them to skip the discovery job."""
+        when the caller already knows them to skip the discovery job.
+
+        With ``prefetch_probes`` (default) epoch N+1's touched-bucket probe
+        runs on a background thread WHILE epoch N's merge job executes —
+        the probe is a serialized plan-time dependency of each merge
+        (it sizes the write salt and picks target buckets), so overlapping
+        it removes one full job latency from every epoch after the first
+        (the measured per-epoch fixed cost, BENCH/BASELINE.md Amdahl fit).
+        Spark job submission is thread-safe; the probe touches only a
+        two-column projection, so it steals little from the merge."""
         if epoch_ids is None:
             epoch_ids = sorted(
                 r[0] for r in events.select(epoch_col).distinct().collect()
             )
         out = []
-        for e in epoch_ids:
-            batch = events.where(F.col(epoch_col) == e)
-            out.append(self.apply_epoch(batch, int(e)))
+        if not prefetch_probes or len(epoch_ids) <= 1:
+            for e in epoch_ids:
+                out.append(self.apply_epoch(events.where(F.col(epoch_col) == e), int(e)))
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for i, e in enumerate(epoch_ids):
+                probe = fut.result() if fut is not None else None
+                if i + 1 < len(epoch_ids):
+                    nxt = events.where(F.col(epoch_col) == epoch_ids[i + 1])
+                    fut = pool.submit(self._prefetch_probe, nxt)
+                else:
+                    fut = None
+                out.append(
+                    self.apply_epoch(events.where(F.col(epoch_col) == e), int(e), probe=probe)
+                )
         return out
 
     def lineage(self) -> list[dict]:
@@ -248,12 +292,28 @@ class MultiTableEngine:
     table_col: str = "table"
 
     def apply_epoch(self, batch: DataFrame, epoch_id: int) -> dict[str, EpochResult]:
-        out: dict[str, EpochResult] = {}
         # deterministic table order so a crash/resume always replays the
-        # same prefix
-        for name in sorted(self.engines):
-            sub = batch.where(F.col(self.table_col) == name).drop(self.table_col)
-            out[name] = self.engines[name].apply_epoch(sub, epoch_id)
+        # same prefix. Every table's touched-bucket probe is independent of
+        # every other table's merge, so they are all submitted up front on
+        # a thread pool: table k's probe overlaps tables 0..k-1's merges
+        # instead of serializing one probe job per table per epoch.
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = sorted(self.engines)
+        subs = {
+            n: batch.where(F.col(self.table_col) == n).drop(self.table_col)
+            for n in names
+        }
+        out: dict[str, EpochResult] = {}
+        with ThreadPoolExecutor(max_workers=max(1, len(names))) as pool:
+            futs = {
+                n: pool.submit(self.engines[n]._prefetch_probe, subs[n])
+                for n in names
+            }
+            for name in names:
+                out[name] = self.engines[name].apply_epoch(
+                    subs[name], epoch_id, probe=futs[name].result()
+                )
         return out
 
     def apply_epochs(

@@ -45,9 +45,11 @@ def interval_join(
     upper: str = "INTERVAL 30 MINUTES",
     watermark: str | None = "1 hour",
     prefixes: tuple[str, str] = ("l_", "r_"),
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner event-time interval join: pairs ``(l, r)`` sharing ``on`` with
-    ``r.ts in [l.ts, l.ts + upper]``.
+    """Event-time interval join: pairs ``(l, r)`` sharing ``on`` with
+    ``r.ts in [l.ts, l.ts + upper]``; ``how`` is ``inner`` or
+    ``left_outer``.
 
     Works on two streaming DataFrames (both watermarked — required for
     state eviction in a stream-stream join) and on batch DataFrames (the
@@ -58,6 +60,15 @@ def interval_join(
     traffic pins the min-policy global watermark at 0 and join state never
     evicts. Output columns are the union of both sides' columns,
     disambiguated with ``prefixes``.
+
+    LEFT OUTER semantics (the attribution query users actually run — every
+    trigger, matched or not): matched pairs emit in the micro-batch where
+    the match completes, exactly like inner; an UNMATCHED left row emits
+    its null-padded row only when the watermark proves no match can still
+    arrive — i.e. when the row is evicted from join state, at watermark >
+    ``l.ts + upper``. Left rows whose interval is still open when the
+    stream drains stay in state and emit nothing — the cutoff a correct
+    oracle must reproduce (see the registry's outer-join oracle).
     """
     lp, rp = prefixes
     l = left.select([F.col(c).alias(f"{lp}{c}") for c in left.columns])
@@ -73,7 +84,7 @@ def interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(upper))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def attribution_pairs(
@@ -82,6 +93,7 @@ def attribution_pairs(
     outcome_type: str = "purchase",
     within: str = "INTERVAL 30 MINUTES",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Attribution over one event feed: every ``trigger_type`` event joined
     to each same-user ``outcome_type`` event that follows within
@@ -90,7 +102,10 @@ def attribution_pairs(
     type filters so every event (matching either type or neither) advances
     it; watermarking after the filter would let a quiet side freeze the
     global min-watermark and join state would grow without bound. Returns
-    one row per (trigger, outcome) pair with the delay in seconds."""
+    one row per (trigger, outcome) pair with the delay in seconds;
+    ``how="left_outer"`` additionally emits null-padded rows for triggers
+    with NO outcome once the watermark closes their interval (state
+    eviction — see ``interval_join``)."""
     src = events
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
@@ -110,7 +125,7 @@ def attribution_pairs(
     outc = src.where(_is(outcome_type)).select("event_id", "user_id", "ts", "value")
     j = interval_join(
         trig, outc, on="user_id", upper=within, watermark=None,
-        prefixes=("c_", "p_"),
+        prefixes=("c_", "p_"), how=how,
     )
     return j.select(
         F.col("c_event_id").alias("trigger_id"),

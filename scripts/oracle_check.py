@@ -42,12 +42,16 @@ oracles = e.oracle_sql()
 
 
 def key(v, digits):
-    """Sort/compare key: floats rounded to ``digits`` (None = raw)."""
+    """Sort/compare key: floats rounded to ``digits`` (None = raw). NULLs
+    sort first via an (is_present, value) pair — outer-join results carry
+    None, which plain tuple comparison cannot order against values."""
+    if v is None:
+        return (0, 0)
     if isinstance(v, float):
-        return round(v, digits) if digits is not None else v
-    if isinstance(v, list):
-        return tuple(key(x, digits) for x in v)
-    return v
+        return (1, round(v, digits) if digits is not None else v)
+    if isinstance(v, (list, tuple)):
+        return (1, tuple(key(x, digits) for x in v))
+    return (1, v)
 
 
 def close(a, b):

@@ -27,17 +27,19 @@ EXPECT = {
     "pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"],
     "segment_revenue": ["BroadcastHashJoin"],
     "cdc_final_state": ["SortAggregate|HashAggregate|ObjectHashAggregate"],
-    "dict_membership_pct": ["BroadcastHashJoin"],
-    "ann_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin"],
+    "dict_suite": ["BroadcastHashJoin"],
+    # merged ANN entry: brute-force contributes the broadcast cross join,
+    # LSH/IVF contribute bucket/cell BroadcastHashJoins — the union plan
+    # must carry both shapes
+    "ann_topk": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
     "dedup_jaccard_pairs": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
     # the exact-verify must carry LeftSemi joins (candidate-doc restriction
     # below the shingle self-join; see test_dedup_scale.py for the
     # structural below-the-join assertion)
     "dedup_minhash_lsh": ["LeftSemi"],
-    "token_count_by_lang": ["ReadSchema: struct<text:string,lang:string>"],
-    # IVF: cell assignment is pure expression (no Exchange below the probe
-    # join); the exploded query side is the broadcast side
-    "ann_ivf_topk": ["BroadcastHashJoin"],
+    # every sub-profile (token counts, vocab, lang-id) scans only
+    # (text, lang) — column pruning must survive the three-way merge
+    "text_lang_profile": ["ReadSchema: struct<text:string,lang:string>"],
     # changelog read: full-outer diff join keyed on the merge key (plan
     # prints the join keys between the operator name and the join type)
     "cdc_table_changes": ["FullOuter"],
@@ -51,16 +53,14 @@ EXPECT = {
     # be the O(|L|·|R|) anti-pattern the operator exists to avoid)
     "events_asof_join": ["Window"],
     # canonical selection: one partial+final aggregate over cluster ids
-    "dedup_canonical": ["SortAggregate|HashAggregate|ObjectHashAggregate"],
-    # boilerplate line removal: the frequent-line set must come back as a
-    # broadcast, never a shuffle join against the exploded corpus
-    "line_dedup": ["BroadcastHashJoin"],
-    # PII redaction: a pure projection — whole-stage codegen ("*(n)" in
-    # the plan tree), and the no-Exchange property is asserted in
-    # tests/test_quality.py::test_redact_pii_is_shuffle_free
-    "redact_pii": ["*("],
-    # repetition metrics: per-(doc,gram) then per-doc partial+final aggs
-    "repetition_stats": ["HashAggregate"],
+    "dedup_cluster_canonical": ["SortAggregate|HashAggregate|ObjectHashAggregate"],
+    # merged quality profile: boilerplate removal's frequent-line set must
+    # come back as a broadcast (never a shuffle join against the exploded
+    # corpus), repetition metrics as partial+final aggs. Redaction's
+    # codegen/no-Exchange property is asserted on its standalone plan in
+    # tests/test_quality.py::test_redact_pii_is_shuffle_free (the "*("
+    # codegen marker does not print inside this AQE join plan pre-exec).
+    "doc_quality_profile": ["BroadcastHashJoin", "HashAggregate"],
     # incremental rollup: delta agg + full-outer merge against the prior
     # rollup on the group key
     "cdc_incr_rollup": ["FullOuter"],
@@ -79,10 +79,15 @@ EXPECT = {
     # stats-pruned range read: besides the manifest-level bucket skipping
     # (asserted via inputFiles in tests/test_lake_stats.py), the row-level
     # range must reach the parquet scan of the surviving buckets.
-    # "GreaterThanOrEqual(" is the data-source filter syntax, which only
-    # appears in PushedFilters (DataFilters prints Catalyst ">=" instead),
-    # so the literal substring check below is specific to pushdown.
-    "cdc_stats_pruned_read": ["GreaterThanOrEqual(ts"],
+    # Two-part check: "GreaterThanOrEqual(" is the data-source filter
+    # syntax, which only appears in PushedFilters (DataFilters prints
+    # Catalyst ">=" instead), and requiring "PushedFilters:" alongside it
+    # keeps the assertion scan-specific even if a future Spark prints the
+    # data-source syntax elsewhere.
+    "cdc_stats_pruned_read": ["PushedFilters:", "GreaterThanOrEqual(ts"],
+    # MoR + inline auto-compaction: the final read still folds base+delta
+    # through the LWW aggregate
+    "cdc_mor_autocompact": ["SortAggregate|HashAggregate|ObjectHashAggregate"],
     # stream-stream interval join drains through a StreamingSymmetricHashJoin
     # inside the streaming query; the returned DataFrame is only the drained
     # parquet read, so the audit only does generic checks here (the join
@@ -97,7 +102,7 @@ EXPECT = {
 
 GENERIC_BAD = ["CartesianProduct"]
 # queries where a broadcast cross join is the intended algorithm
-CROSS_OK = {"ann_cosine_topk", "ann_lsh_topk"}
+CROSS_OK = {"ann_topk"}
 
 
 def main() -> None:

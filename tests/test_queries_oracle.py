@@ -34,11 +34,15 @@ def ddb():
 
 
 def _norm(v):
+    # (is_present, value) pairs keep NULL-bearing rows sortable (the outer
+    # interval join emits nulls; None is unorderable against values)
+    if v is None:
+        return (0, 0)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    return v
+            return (1, "NaN")
+        return (1, round(v, 9))
+    return (1, v)
 
 
 def _rows_to_set(rows, cols):

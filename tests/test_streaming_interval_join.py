@@ -105,3 +105,75 @@ def test_multi_match_and_batch_parity(spark, tmp_path):
     assert sorted(
         (r.trigger_id, r.outcome_id, r.delay_sec) for r in batch.collect()
     ) == got
+
+
+def _drain_outer(spark, src, out, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        attribution_pairs(
+            stream, within="INTERVAL 30 MINUTES", watermark="1 hour",
+            how="left_outer",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    return sorted(
+        (r.trigger_id, r.outcome_id, r.delay_sec)
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_outer_emits_null_row_on_state_eviction(spark, tmp_path):
+    """The left-outer contract: an unmatched click emits its null-padded
+    row exactly when join state evicts it (watermark > click.ts + 30min),
+    never before — the path the inner join never exercises."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    # click at 10:00 with no purchase; the drain's final no-data batch
+    # advances the watermark to 13:00 (14:00 view - 1h) > 10:30, evicting
+    # the click and emitting its outer null row within the SAME drain —
+    # the cutoff the registry oracle reproduces
+    _write(
+        spark,
+        src,
+        [(1, _t(10, 0), 7, "click", 0.0), (99, _t(14, 0), 8, "view", 0.0)],
+    )
+    assert _drain_outer(spark, src, out, ckpt) == [(1, None, None)]
+
+    # a later drain never re-emits the evicted click
+    _write(spark, src, [(98, _t(14, 5), 8, "view", 0.0)])
+    assert _drain_outer(spark, src, out, ckpt) == [(1, None, None)]
+
+    # a matched click-purchase pair still emits eagerly, like inner
+    _write(
+        spark,
+        src,
+        [(2, _t(15, 0), 7, "click", 0.0), (3, _t(15, 10), 7, "purchase", 4.0)],
+    )
+    assert _drain_outer(spark, src, out, ckpt) == [(1, None, None), (2, 3, 600)]
+
+
+def test_outer_matched_click_never_gets_null_row(spark, tmp_path):
+    """A click whose match completed must NOT also emit a null row when
+    its state later evicts (outer joins emit the null only for rows that
+    matched nothing)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write(
+        spark,
+        src,
+        [
+            (1, _t(9, 0), 1, "click", 0.0),
+            (2, _t(9, 10), 1, "purchase", 1.0),
+            (99, _t(13, 0), 8, "view", 0.0),
+        ],
+    )
+    assert _drain_outer(spark, src, out, ckpt) == [(1, 2, 600)]
+    # advance the watermark far past the click's interval: eviction of the
+    # matched click adds nothing
+    _write(spark, src, [(98, _t(13, 5), 8, "view", 0.0)])
+    assert _drain_outer(spark, src, out, ckpt) == [(1, 2, 600)]
