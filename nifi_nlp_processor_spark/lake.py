@@ -252,6 +252,7 @@ class ParquetLakeTable:
         self.spark = spark
         self.root = root
         self._commit_cache: dict[str, dict] = {}
+        self._schema_cache: dict[str, T.StructType] = {}
         os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(root, "_schema"), exist_ok=True)
         props_path = os.path.join(root, "_table.json")
@@ -752,8 +753,33 @@ class ParquetLakeTable:
         c = self.last_commit()
         if c is None:
             return None
-        with open(os.path.join(self.root, "_schema", c["schema"])) as fh:
-            return T.StructType.fromJson(json.load(fh))
+        return self._stored_schema(c["schema"])
+
+    def _stored_schema(self, sname: str) -> T.StructType:
+        """Parse one versioned schema file, cached per handle. Schema files
+        are immutable (a new version gets a new name), so caching by name
+        is safe — same contract as the manifest cache."""
+        s = self._schema_cache.get(sname)
+        if s is None:
+            with open(os.path.join(self.root, "_schema", sname)) as fh:
+                s = T.StructType.fromJson(json.load(fh))
+            self._schema_cache[sname] = s
+        return s
+
+    def _file_schema(self, sname: str) -> T.StructType:
+        """The exact physical schema of every data file written under
+        stored schema ``sname``: its fields plus the LWW meta columns
+        (the bucket is a directory key, never a file column). Passing this
+        to ``spark.read.schema(...)`` skips parquet footer schema
+        inference — a per-epoch driver cost on the merge's target read
+        that grows with the touched buckets' file counts."""
+        return T.StructType(
+            self._stored_schema(sname).fields
+            + [
+                T.StructField(META_LSN, T.LongType()),
+                T.StructField(META_DELETED, T.BooleanType()),
+            ]
+        )
 
     def _write_schema(self, schema: T.StructType, version: int) -> str:
         name = f"v{version:04d}.json"
@@ -769,10 +795,7 @@ class ParquetLakeTable:
         travels to an older manifest (valid while its data dirs survive
         ``expire_snapshots``)."""
         c = self.commit_at(at_seq) if at_seq is not None else self.last_commit()
-        schema = None
-        if c is not None:
-            with open(os.path.join(self.root, "_schema", c["schema"])) as fh:
-                schema = T.StructType.fromJson(json.load(fh))
+        schema = self._stored_schema(c["schema"]) if c is not None else None
         if c is None or not c["buckets"]:
             meta = T.StructType(
                 [
@@ -865,23 +888,32 @@ class ParquetLakeTable:
         manifest row-count analogue). Sizes the NEXT epoch's adaptive write
         salt; a missing/unreadable footer degrades to 0 (salt sized by the
         batch alone), never fails the commit."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out: dict[int, int] = {}
+        def _n(path: str) -> int:
+            try:
+                return pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                return 0
+
+        by_bucket: dict[int, list[str]] = {}
         for d in os.listdir(abs_dir):
             if not d.startswith(f"{BUCKET_COL}="):
                 continue
-            b = int(d.split("=")[1])
             bdir = os.path.join(abs_dir, d)
-            n = 0
-            for f in os.listdir(bdir):
-                if f.endswith(".parquet"):
-                    try:
-                        n += pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
-                    except Exception:
-                        pass
-            out[b] = n
-        return out
+            by_bucket[int(d.split("=")[1])] = [
+                os.path.join(bdir, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+        files = [p for paths in by_bucket.values() for p in paths]
+        # footer opens release the GIL in pyarrow's C++ IO; a small pool
+        # turns a salt-fanned epoch's serial footer walk into one round-trip
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as pool:
+            counts = dict(zip(files, pool.map(_n, files)))
+        return {b: sum(counts[p] for p in paths) for b, paths in by_bucket.items()}
 
     def read_where(
         self, predicates: dict[str, tuple], at_seq: int | None = None
@@ -1004,9 +1036,10 @@ class ParquetLakeTable:
                 dest.setdefault(part["schema"], []).append(p)
 
         def _union(by_schema: dict[str, list[str]]) -> DataFrame | None:
+            # explicit per-version file schema: no footer inference pass
             parts = [
-                align(self.spark.read.parquet(*paths), full)
-                for paths in by_schema.values()
+                align(self.spark.read.schema(self._file_schema(sname)).parquet(*paths), full)
+                for sname, paths in by_schema.items()
             ]
             if not parts:
                 return None
@@ -1294,7 +1327,10 @@ class ParquetLakeTable:
                             os.path.join(self.root, part["path"])
                         )
             for sname, paths in by_schema.items():
-                df = self.spark.read.parquet(*paths)
+                # explicit schema: the merge's target read otherwise pays a
+                # footer schema-inference pass per epoch (driver-side, scales
+                # with touched buckets × salt files — pure fixed cost)
+                df = self.spark.read.schema(self._file_schema(sname)).parquet(*paths)
                 tgt_parts.append(
                     align(df, full).withColumn(BUCKET_COL, self._bucket_expr())
                 )
