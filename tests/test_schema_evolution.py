@@ -80,6 +80,53 @@ def test_evolution_epoch_end_to_end(spark, tmp_path):
     assert cur.where(F.col("text").startswith("v9 ")).count() == expect
 
 
+def test_file_schema_matches_written_footers(spark, tmp_path):
+    """The explicit schema handed to manifest-driven reads (stored fields
+    + LWW meta columns) must equal what the writer actually put in the
+    files — the contract that lets the merge/fold/snapshot paths skip
+    footer inference. Also pins the per-handle cache (schema files are
+    immutable) and that a fresh handle on the same root agrees."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nifi_nlp_processor_spark.lake import META_DELETED, META_LSN
+
+    spec = ChangeStreamSpec(n_conversations=8, n_epochs=2, out_of_order=False)
+    events = change_events(spark, spec)
+    lake = ParquetLakeTable(spark, str(tmp_path / "fs"), n_buckets=2)
+    CdcEngine(lake=lake).apply_epochs(events)
+
+    sname = lake.last_commit()["schema"]
+    fs = lake._file_schema(sname)
+    assert [f.name for f in fs.fields][-2:] == [META_LSN, META_DELETED]
+
+    # one real data file's footer agrees column-for-column (name and
+    # spark type) with the schema we claim for it
+    ptr = next(iter(lake.last_commit()["buckets"].values()))
+    bdir = os.path.join(lake.root, ptr["path"])
+    pf = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+    footer = spark.read.parquet(os.path.join(bdir, pf)).schema
+    assert [(f.name, f.dataType) for f in footer.fields] == [
+        (f.name, f.dataType) for f in fs.fields
+    ]
+
+    # immutable schema files → cached per handle; a new handle re-parses
+    # to an equal schema
+    assert lake._stored_schema(sname) is lake._stored_schema(sname)
+    lake2 = ParquetLakeTable(spark, lake.root)
+    assert lake2._file_schema(sname) == fs
+
+    # the manifest's per-part row counts (salt sizing input) agree with
+    # the footers they were read from
+    n_footer = sum(
+        pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+        for f in os.listdir(bdir)
+        if f.endswith(".parquet")
+    )
+    assert ptr["rows"] == n_footer
+
+
 def test_incompatible_change_rejected(spark, tmp_path):
     spec = ChangeStreamSpec(n_conversations=5, n_epochs=1)
     events = change_events(spark, spec)
