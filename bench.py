@@ -628,7 +628,38 @@ def main() -> None:
             cooldown_sec=args.scaling_cooldown,
         ), indent=2))
     else:
-        print(json.dumps(run_queries(args.sf_dir, args.cores)))
+        res = run_queries(args.sf_dir, args.cores)
+        # Full detail (incl. row counts) goes to a file + stderr; stdout
+        # gets ONE compact line. The driver records only the last 2000
+        # chars of stdout and parses the final line — r3/r4's single
+        # >2000-char line lost its own head, leaving `parsed: null`
+        # (VERDICT r4 #2). The compact line must stay well under the cap.
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH", "last_queries_detail.json")
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(res, fh, indent=1)
+        print(json.dumps(res), file=sys.stderr)
+        compact = {
+            "metric": res["metric"],
+            "value": res["value"],
+            "unit": res["unit"],
+            "queries": {k: round(v, 2) for k, v in res["queries"].items()},
+            "sf": res["sf"],
+            "cores": res["cores"],
+            "calibration": res["calibration"],
+        }
+        line = json.dumps(compact)
+        if len(line) > 1900:  # defensive: never regrow past the cap
+            compact.pop("calibration", None)
+            line = json.dumps(compact)
+        if len(line) > 1900:
+            worst = dict(sorted(res["queries"].items(),
+                                key=lambda kv: -kv[1])[:30])
+            compact["queries"] = {k: round(v, 2) for k, v in worst.items()}
+            compact["queries_omitted"] = len(res["queries"]) - len(worst)
+            line = json.dumps(compact)
+        print(line)
 
 
 if __name__ == "__main__":

@@ -782,10 +782,17 @@ class ParquetLakeTable:
         )
 
     def _write_schema(self, schema: T.StructType, version: int) -> str:
+        # published atomically (mkstemp + rename, same as _publish): the
+        # per-handle schema cache and the inference-free read path depend
+        # on a schema file being immutable-and-complete once its name is
+        # visible — a fresh reader handle racing this writer must never
+        # see a partial file
         name = f"v{version:04d}.json"
-        path = os.path.join(self.root, "_schema", name)
-        with open(path, "w") as fh:
+        d = os.path.join(self.root, "_schema")
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-schema-")
+        with os.fdopen(fd, "w") as fh:
             json.dump(schema.jsonValue(), fh)
+        os.rename(tmp, os.path.join(d, name))
         return name
 
     # ---- read -------------------------------------------------------
@@ -1192,6 +1199,33 @@ class ParquetLakeTable:
             .collect()
         }
 
+    def probe_epochs(
+        self, pdf: DataFrame, epoch_col: str = "epoch_id", lsn_col: str = "lsn"
+    ) -> dict[int, dict[int, tuple[int, int]]]:
+        """Every epoch's touched-bucket/watermark probe in ONE grouped job:
+        ``{epoch: {bucket: (max_lsn, n_rows)}}``. A replay loop that knows
+        its epochs up front (``runner.apply_epochs``) pays one probe-job
+        latency for the whole replay instead of one per epoch — the scan
+        is the same two-column projection as ``probe_batch`` over all
+        epochs at once (columnar, epoch-partition-pruned source), and the
+        driver receives ≤ epochs × n_buckets tiny rows. Null-lsn rows are
+        dropped for the same reasons as ``probe_batch``."""
+        out: dict[int, dict[int, tuple[int, int]]] = {}
+        rows = (
+            pdf.where(F.col(lsn_col).isNotNull())
+            .select(
+                F.col(epoch_col).cast("long").alias("_e"),
+                self._bucket_expr().alias(BUCKET_COL),
+                F.col(lsn_col).cast("long").alias(META_LSN),
+            )
+            .groupBy("_e", BUCKET_COL)
+            .agg(F.max(META_LSN), F.count(F.lit(1)))
+            .collect()
+        )
+        for r in rows:
+            out.setdefault(int(r[0]), {})[r[1]] = (r[2], r[3])
+        return out
+
     def merge_into(
         self,
         src: DataFrame,
@@ -1212,7 +1246,11 @@ class ParquetLakeTable:
         re-run an expensive UDF stage). ``probe``: the probe RESULT itself
         (from ``probe_batch`` over the same rows), when the caller already
         ran it — e.g. prefetched concurrently with the previous epoch's
-        merge; passing it skips the probe job entirely.
+        merge; passing it skips the probe job entirely. CONTRACT: a passed
+        probe must be ``probe_batch`` over the exact post-filter rows of a
+        deterministic source — the merge validates that every bucket it
+        writes was probe-touched and aborts before commit otherwise (a
+        silent miss would drop the untouched bucket's existing rows).
 
         ``mode``:
 
@@ -1508,6 +1546,23 @@ class ParquetLakeTable:
             for d in os.listdir(abs_dir)
             if d.startswith(f"{BUCKET_COL}=")
         }
+        # Probe-contract guard: every bucket this merge actually wrote must
+        # have been probe-touched. A caller-supplied ``probe`` that misses a
+        # written bucket (stale prefetch, probe over different rows, a
+        # non-deterministic source re-evaluated between probe and merge)
+        # would otherwise silently replace that bucket's pointer with a
+        # batch-only fold — permanently dropping its existing rows (CoW) or
+        # KeyError-ing on the watermark below. Abort BEFORE _publish: the
+        # orphaned data dir is retired by expire_snapshots, the table is
+        # untouched.
+        unprobed = present - {int(b) for b in probe}
+        if unprobed:
+            raise RuntimeError(
+                f"merge wrote buckets {sorted(unprobed)} the probe never "
+                "touched — the probe must come from probe_batch over the "
+                "exact post-filter rows of a deterministic source "
+                "(epoch not committed)"
+            )
         part_stats = self._collect_part_stats(abs_dir, schema) if self.stats_cols else {}
         part_rows = self._part_rows(abs_dir)
         for b in present:

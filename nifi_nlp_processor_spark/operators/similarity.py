@@ -290,6 +290,14 @@ def ivf_assign_join(
     partition, then final — the only shuffle, and its width is one struct
     per row, not n_cells). Returns ``(id_col, vec_col, out)``: the vector
     rides through the aggregate as struct payload — no join-back to df.
+
+    CONTRACT: ``id_col`` must be row-unique. The literal path is
+    row-preserving while this groupBy-argmin collapses duplicate ids to
+    one row (and the query-side probe shares one row_number window per
+    query id) — with duplicate ids the two physical paths would silently
+    diverge once the registry size crosses ``IVF_LITERAL_MAX_TERMS``.
+    Every in-repo caller keys by a primary key (doc_id / query_id);
+    tests/test_similarity_ann.py pins bit-identity under that contract.
     """
     cent = F.broadcast(centroids_df(df.sparkSession, centroids))
     j = df.select(F.col(id_col), F.col(vec_col)).crossJoin(cent)

@@ -2908,6 +2908,53 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_interval_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both watermarked stream-stream interval-join modes in one result,
+    tagged by variant (the ``sessionize_stream_both`` consolidation
+    pattern): the inner join emits each click→purchase pair when the match
+    completes, the LEFT OUTER variant additionally emits null-padded
+    unmatched clicks on join-state eviction (watermark cutoff — the
+    oracle reproduces it exactly, see the single-operator oracles). The
+    events source is staged ONCE and both streams drain CONCURRENTLY off
+    it with their own checkpoints, so the consolidated entry costs one
+    staging + max (not sum) of the two drains."""
+    from nifi_nlp_processor_spark.streaming import attribution_pairs
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    base = _scratch_root(spark, sf_dir, "cdc_ivb")
+    src = base + "_src"
+    ev.coalesce(4).write.parquet(src)
+    handles = []
+    for how in ("inner", "left_outer"):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(src)
+        out, ckpt = f"{base}_{how}_out", f"{base}_{how}_ckpt"
+        q = (
+            attribution_pairs(stream, how=how)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        handles.append((how, out, q))
+    parts = []
+    for how, out, q in handles:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"{how} interval-join stream did not drain within 300 s")
+        parts.append(spark.read.parquet(out).withColumn("variant", F.lit(how)))
+    return parts[0].unionByName(parts[1])
+
+
 _STREAM_INTERVAL_JOIN_OUTER_SQL = """
 WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
 pairs AS (
@@ -2937,6 +2984,60 @@ unmatched AS (
     )
 )
 SELECT * FROM pairs UNION ALL SELECT * FROM unmatched
+"""
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution mid-stream (north rule / SURVEY §1.1 M5,
+    lake.evolve_schema + tests/test_schema_evolution.py): epochs 0–1 apply
+    with the original schema, then epochs 2–3 arrive CHANGED — a new
+    ``model`` column and ``turn_idx`` widened int→bigint — and the engine
+    merges the Iceberg-style schema per epoch (add-column nullable,
+    type-widening promotion) while pre-evolution data files are read
+    through the evolved schema with cast-alignment. The query asserts the
+    evolution actually happened (model:string, turn_idx:bigint in the
+    committed schema) and returns the final snapshot; the oracle is the
+    sequential global LWW where a key's ``model`` is non-null iff its
+    winning event was delivered post-cutover (epoch_id = lsn % 4 ≥ 2) —
+    equality proves old rows surface typed NULLs, widened keys keep
+    identity, and the LWW merge is oblivious to which schema version wrote
+    each bucket file."""
+    root = _scratch_root(spark, sf_dir, "cdc_evo")
+    staged = spark.read.parquet(_staged_changes(spark, sf_dir))
+    lake = ParquetLakeTable(spark, root, n_buckets=16)
+    engine = CdcEngine(lake=lake)
+    engine.apply_epochs(staged, epoch_ids=[0, 1])
+    pre = {f.name for f in lake.current_schema().fields}
+    if "model" in pre:
+        raise AssertionError("fixture already carries the evolution column")
+    evolved = staged.withColumn("model", F.lit("evo-v2")).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    )
+    engine.apply_epochs(evolved, epoch_ids=[2, 3])
+    sch = {f.name: f.dataType.simpleString() for f in lake.current_schema().fields}
+    if sch.get("model") != "string" or sch.get("turn_idx") != "bigint":
+        raise AssertionError(f"schema did not evolve as declared: {sch}")
+    return lake.read().select("conv_id", "turn_idx", "role", "text", "model")
+
+
+_CDC_SCHEMA_EVOLUTION_SQL = f"""
+WITH changes AS ({EVENTS_AS_CHANGES_SQL}),
+cor AS ({_CORRUPT_SQL}),
+valid AS (SELECT * FROM cor WHERE NOT (op <> 'D' AND text IS NULL)),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM valid
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+       CASE WHEN lsn % 4 >= 2 THEN 'evo-v2' ELSE NULL END AS model
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+_STREAM_INTERVAL_JOIN_BOTH_SQL = f"""
+SELECT 'inner' AS variant, * FROM ({_STREAM_INTERVAL_JOIN_SQL})
+UNION ALL
+SELECT 'left_outer' AS variant, * FROM ({_STREAM_INTERVAL_JOIN_OUTER_SQL})
 """
 
 
@@ -3102,13 +3203,41 @@ def q_sessionize_stream_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed by a successor event (default) and the production
     timeout-close variant (event-time timeout emits a stopped user's final
     session and evicts state), tagged by variant."""
-    a = q_sessionize_stream(spark, sf_dir).withColumn(
-        "variant", F.lit("closed_by_event")
+    from nifi_nlp_processor_spark.streaming import sessionize_stream
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    b = q_sessionize_stream_to(spark, sf_dir).withColumn(
-        "variant", F.lit("closed_by_timeout")
-    )
-    return a.unionByName(b)
+    base = _scratch_root(spark, sf_dir, "cdc_ssb")
+    src = base + "_src"
+    ev.coalesce(4).write.parquet(src)
+    # one staged source, both variants drain CONCURRENTLY off it with
+    # their own checkpoints — the consolidated entry costs one staging +
+    # max (not sum) of the two stateful drains
+    handles = []
+    for tag, emit_on_timeout in (
+        ("closed_by_event", False),
+        ("closed_by_timeout", True),
+    ):
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        out, ckpt = f"{base}_{tag}_out", f"{base}_{tag}_ckpt"
+        q = (
+            sessionize_stream(stream, gap_seconds=1800, emit_on_timeout=emit_on_timeout)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        handles.append((tag, out, q))
+    parts = []
+    for tag, out, q in handles:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"{tag} sessionize stream did not drain within 300 s")
+        parts.append(spark.read.parquet(out).withColumn("variant", F.lit(tag)))
+    return parts[0].unionByName(parts[1])
 
 
 _SESSIONIZE_STREAM_BOTH_SQL = f"""
@@ -3197,7 +3326,9 @@ FROM comp JOIN cs USING (cluster_id) JOIN canon USING (cluster_id)
 # text_quality/repetition_stats/line_dedup/redact_pii →
 # doc_quality_profile; sessionize_stream/sessionize_stream_to →
 # sessionize_stream_both; dedup_clusters/dedup_canonical →
-# dedup_cluster_canonical.
+# dedup_cluster_canonical; stream_interval_join/stream_interval_join_outer
+# → stream_interval_join_both (round 5, freeing the slot for
+# cdc_schema_evolution — see REGISTRY.md).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CDC core + extensions
     "cdc_final_state": q_cdc_final_state,
@@ -3218,6 +3349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_txn_aligned": q_cdc_txn_aligned,
     "cdc_stats_pruned_read": q_cdc_stats_pruned_read,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
     # NLP / reference parity
     "extract_emails": q_extract_emails,
     "enrich_model_spans": q_enrich_model_spans,
@@ -3248,8 +3380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_stream_both": q_sessionize_stream_both,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_dedup_ingest": q_stream_dedup_ingest,
-    "stream_interval_join": q_stream_interval_join,
-    "stream_interval_join_outer": q_stream_interval_join_outer,
+    "stream_interval_join_both": q_stream_interval_join_both,
     # OLAP rollups + training-data assembly
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -3277,6 +3408,7 @@ ORACLES: dict[str, str] = {
     "cdc_multi_table": _MULTI_TABLE_SQL,
     "cdc_txn_aligned": _TXN_ALIGNED_SQL,
     "cdc_stats_pruned_read": _STATS_PRUNED_SQL,
+    "cdc_schema_evolution": _CDC_SCHEMA_EVOLUTION_SQL,
     "extract_emails": _EXTRACT_EMAILS_SQL,
     "enrich_model_spans": _MODEL_SPANS_SQL,
     "dict_suite": _DICT_SUITE_SQL,
@@ -3302,8 +3434,7 @@ ORACLES: dict[str, str] = {
     "sessionize_stream_both": _SESSIONIZE_STREAM_BOTH_SQL,
     "stream_windowed_counts": _STREAM_WINDOWED_SQL,
     "stream_dedup_ingest": _STREAM_DEDUP_SQL,
-    "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
-    "stream_interval_join_outer": _STREAM_INTERVAL_JOIN_OUTER_SQL,
+    "stream_interval_join_both": _STREAM_INTERVAL_JOIN_BOTH_SQL,
     "pricing_summary": _PRICING_SQL,
     "segment_revenue": _SEGMENT_SQL,
     "decontam_overlap": _DECONTAM_SQL,

@@ -220,37 +220,43 @@ class CdcEngine:
         the events themselves never reach the driver; pass ``epoch_ids``
         when the caller already knows them to skip the discovery job.
 
-        With ``prefetch_probes`` (default) epoch N+1's touched-bucket probe
-        runs on a background thread WHILE epoch N's merge job executes —
-        the probe is a serialized plan-time dependency of each merge
-        (it sizes the write salt and picks target buckets), so overlapping
-        it removes one full job latency from every epoch after the first
-        (the measured per-epoch fixed cost, BENCH/BASELINE.md Amdahl fit).
-        Spark job submission is thread-safe; the probe touches only a
-        two-column projection, so it steals little from the merge."""
+        With ``prefetch_probes`` (default) ALL epochs' touched-bucket
+        probes are computed in ONE up-front grouped job
+        (``lake.probe_epochs`` over the post-quarantine valid rows, same
+        cutover filter as ``apply_epoch``): the probe is a serialized
+        plan-time dependency of each merge (it sizes the write salt and
+        picks target buckets), so batching it pays one probe-job latency
+        for the whole replay instead of one per epoch — strictly better
+        than round 4's thread-prefetch, which still ran epoch 0's probe
+        inline and had the background probe competing with the live merge
+        for executor slots. ``False`` runs each epoch's probe inline (the
+        diagnostic / A-B baseline path)."""
         if epoch_ids is None:
             epoch_ids = sorted(
                 r[0] for r in events.select(epoch_col).distinct().collect()
             )
         out = []
-        if not prefetch_probes or len(epoch_ids) <= 1:
+        if not prefetch_probes:
             for e in epoch_ids:
                 out.append(self.apply_epoch(events.where(F.col(epoch_col) == e), int(e)))
             return out
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = None
-            for i, e in enumerate(epoch_ids):
-                probe = fut.result() if fut is not None else None
-                if i + 1 < len(epoch_ids):
-                    nxt = events.where(F.col(epoch_col) == epoch_ids[i + 1])
-                    fut = pool.submit(self._prefetch_probe, nxt)
-                else:
-                    fut = None
-                out.append(
-                    self.apply_epoch(events.where(F.col(epoch_col) == e), int(e), probe=probe)
+        valid, _bad = split_valid(events, list(self.key_cols))
+        cutover = self.lake.extra_props.get("bootstrap_lsn")
+        if cutover is not None:
+            valid = valid.where(F.col("lsn") > int(cutover))
+        # probe only the epochs this replay applies — a caller replaying a
+        # prefix (warmup, resumed/phased applies) must not pay for the rest
+        probes = self.lake.probe_epochs(
+            valid.where(F.col(epoch_col).isin([int(e) for e in epoch_ids])), epoch_col
+        )
+        for e in epoch_ids:
+            out.append(
+                self.apply_epoch(
+                    events.where(F.col(epoch_col) == e),
+                    int(e),
+                    probe=probes.get(int(e), {}),
                 )
+            )
         return out
 
     def lineage(self) -> list[dict]:
@@ -305,7 +311,12 @@ class MultiTableEngine:
             for n in names
         }
         out: dict[str, EpochResult] = {}
-        with ThreadPoolExecutor(max_workers=max(1, len(names))) as pool:
+        # pool capped: each probe is a real Spark job, and an uncapped
+        # many-table engine would submit them all at once — oversubscribing
+        # the scheduler and competing with the serial merges the overlap is
+        # meant to hide. 4 in flight keeps the next few tables' probes warm
+        # while never swamping the running merge.
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(names)))) as pool:
             futs = {
                 n: pool.submit(self.engines[n]._prefetch_probe, subs[n])
                 for n in names

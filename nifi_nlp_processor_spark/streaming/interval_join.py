@@ -70,6 +70,10 @@ def interval_join(
     stream drains stay in state and emit nothing — the cutoff a correct
     oracle must reproduce (see the registry's outer-join oracle).
     """
+    if how not in ("inner", "left_outer"):
+        # other join types would run, but with prefix/watermark/eviction
+        # assumptions this contract (and the registry oracle) never covers
+        raise ValueError(f"interval_join supports 'inner' or 'left_outer', got {how!r}")
     lp, rp = prefixes
     l = left.select([F.col(c).alias(f"{lp}{c}") for c in left.columns])
     r = right.select([F.col(c).alias(f"{rp}{c}") for c in right.columns])

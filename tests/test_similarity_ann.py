@@ -188,6 +188,13 @@ def test_ivf_join_assign_matches_literal_assign(spark):
         for r in ivf_assign_join(corpus, cents, "vec_id", "_cv").collect()
     }
     assert jn == lit
+    # the bit-identity above holds only under ivf_assign_join's documented
+    # row-unique-id contract (the literal path is row-preserving, the join
+    # path groupBy-argmins on the id) — pin that the fixture honors it
+    n, nd = corpus.agg(
+        F.count(F.lit(1)), F.countDistinct("vec_id")
+    ).collect()[0]
+    assert n == nd, "ivf id contract: vec_id must be row-unique"
 
 
 def test_ivf_join_path_no_expression_blowup_at_4k_cells(spark):
